@@ -1,0 +1,186 @@
+"""Typed configuration for the SubZero-TPU solver.
+
+The reference model (SeaIce-Math/SubZero) scatters its physics constants and
+process cadences across many files (flags at ``Subzero.m:6-32``, cadences
+hard-coded in ``mod(i_step, K)`` expressions at ``Subzero.m:169,220,276,317-339``,
+constants like rho_ice=920 repeated in >=6 files).  Here every flag, interval,
+clamp, and empirical constant is collected into one frozen dataclass tree so a
+run is fully described by its config (SURVEY.md section 5 "Config / flag
+system").
+
+All classes are frozen and hashable so they can be passed to ``jax.jit`` as
+static arguments; numeric fields are plain Python floats/ints that become
+compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PhysicsConfig:
+    """Physical constants of the ice/ocean/atmosphere system.
+
+    Reference values: ``calc_trajectory.m:58-66`` (densities, drag),
+    ``floe_interactions.m:20-21`` (nu, mu), ``initialize_ocean.m:4-8``
+    (Coriolis, Ekman turn angle).
+    """
+
+    rho_ice: float = 920.0          # kg/m^3
+    rho_ocean: float = 1027.0       # kg/m^3
+    rho_air: float = 1.2            # kg/m^3
+    cd_ocean: float = 3e-3          # ice-ocean drag coefficient
+    cd_atm: float = 1e-3            # ice-atmosphere drag coefficient
+    f_coriolis: float = 1.4e-4      # 1/s
+    turn_angle: float = 15.0 * 3.141592653589793 / 180.0  # Ekman turn angle, rad
+    nu_poisson: float = 0.3         # Poisson ratio (shear modulus G = E/2(1+nu))
+    mu_friction: float = 0.2        # Coulomb friction coefficient
+    # Thermodynamics (initialize_ocean.m:37-46)
+    k_thermal: float = 2.14         # W/(m K)
+    t_air: float = -20.0            # deg C
+    t_ocean: float = 0.0            # deg C
+    latent_heat: float = 2.93e5     # J/kg
+
+
+@dataclass(frozen=True)
+class ContactConfig:
+    """Contact-force model constants (floe_interactions.m)."""
+
+    # Region area cull: regions with area < min(N1,N2)*small_region_coeff are
+    # dropped (floe_interactions.m:79).
+    small_region_coeff: float = 100.0 / 1.75
+    # Overlap fraction beyond which two floes are flagged to merge
+    # (floe_interactions.m:55-59).
+    merge_overlap_frac: float = 0.55
+    # Overlap fraction of a floe with the *outside* of the domain beyond which
+    # it is absorbed into the boundary (floe_interactions.m:37-39).
+    boundary_overlap_frac: float = 0.75
+    # Minimum number of boundary crossings for a contact force to be applied
+    # (floe_interactions.m:71 requires >=2 InterX points).
+    min_crossings: int = 2
+    # Minimum contact-chord length for a valid force direction
+    # (floe_interactions.m:142 `dl < 0.1`).
+    min_chord: float = 0.1
+
+
+@dataclass(frozen=True)
+class ClampConfig:
+    """Stability clamps applied in the trajectory update (calc_trajectory.m)."""
+
+    max_thickness: float = 10.0     # m  (calc_trajectory.m:36-37)
+    min_mass: float = 100.0         # kg; below this the floe dies (:38-40)
+    dead_mass: float = 1e3         # mass assigned to a dying tiny floe (:39)
+    # |F| may not exceed mass/(force_dt_factor*dt); divided by 10 until it
+    # complies (calc_trajectory.m:42-46).
+    force_dt_factor: float = 5.0
+    # |du/dt * dt| <= accel_h_factor * h (calc_trajectory.m:184-204)
+    accel_h_factor: float = 0.5
+    max_spin: float = 1e-5          # rad/s (calc_trajectory.m:215-217)
+
+
+@dataclass(frozen=True)
+class ProcessConfig:
+    """Flags and cadences of the floe life-cycle processes (Subzero.m:6-32
+    flags; cadences at Subzero.m:169,220,276,317-339)."""
+
+    collision: bool = True
+    periodic: bool = False
+    ridging: bool = False
+    rafting: bool = False
+    fractures: bool = False
+    welding: bool = False
+    corners: bool = True
+    packing: bool = False
+    keep_min: bool = False          # keep floes below min_floe_size
+
+    # Cadences, in steps
+    n_dt_out: int = 150             # snapshot/diagnostics output
+    n_simplify: int = 20            # boundary simplification
+    n_pack: int = 500               # new-ice packing
+    n_weld: int = 25                # welding, finest scale
+    n_weld_mid: int = 500           # welding at 2x2 scale
+    n_weld_coarse: int = 5000       # welding at 1x1 scale
+    n_fracture: int = 75            # Mohr-Coulomb fracture
+    n_corners: int = 10             # corner grinding
+    n_ocean_force: int = 10         # doInt.step: ocean-stress refresh cadence
+
+    # Process constants
+    ridge_keep_prob: float = 0.05           # floe_interactions_all.m:294
+    ridge_max_h: float = 5.0                # ridging only if h < 5 m
+    ridge_boundary_max_h: float = 1.25      # boundary-ridge gate (:353)
+    raft_max_h: float = 0.25                # rafting only if h < 0.25 m
+    overlap_frac_min: float = 1e-6          # ridge/raft overlap gates (:317)
+    overlap_frac_max: float = 0.95
+    max_ridge_h: float = 30.0               # ridge_values_update.m:14-16
+    min_region_area: float = 1e4            # regions below this dissolve
+    weld_coeff: float = 150.0               # Fweld (Subzero.m:318)
+    corner_keep_prob: float = 0.7           # rand>0.7 selects ~30% (Subzero.m:341)
+    corner_max_overlap: float = 0.15        # skip heavily overlapped (:343)
+    fracture_n_pieces: int = 3              # fracture.m:51 -> 3 Voronoi pieces
+    fracture_sig_c: float = 250e3           # Mohr-Coulomb SigC (fracture.m:21-28)
+    fracture_q: float = 5.2                 # Mohr-Coulomb slope q
+    simplify_max_verts: int = 30            # Subzero.m:185
+    fuse_min_area: float = 2e4              # kill/transfer fuse gate (f_i_all.m:477)
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed buffer capacities for the SoA state (design delta #1 in
+    SURVEY.md section 7: struct arrays -> fixed-capacity masked arrays)."""
+
+    max_floes: int = 256            # Nmax: floe slots (alive mask selects real ones)
+    max_verts: int = 32             # Vmax: vertex slots per floe
+    max_neighbors: int = 16         # K: candidate contacts per floe (broad phase)
+    n_mc_points: int = 1000         # Monte-Carlo samples per floe (initialize_floe_values.m:30)
+    stress_window: int = 1000       # stress-history ring buffer length (:24)
+
+
+@dataclass(frozen=True)
+class NumericsConfig:
+    dt: float = 10.0                # s (Subzero.m:36)
+    dtype: str = "float32"          # compute dtype on device
+    # Broad-phase implementation: "n2" (all-pairs) or "cells" (cell list)
+    broadphase: str = "n2"
+    # Contact geometry implementation: "xla" or "pallas"
+    contact_impl: str = "xla"
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    """Rectangular domain |x|<=lx, |y|<=ly (initialize_boundaries.m)."""
+
+    lx: float = 1e5
+    ly: float = 1e5
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    physics: PhysicsConfig = PhysicsConfig()
+    contact: ContactConfig = ContactConfig()
+    clamps: ClampConfig = ClampConfig()
+    processes: ProcessConfig = ProcessConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    numerics: NumericsConfig = NumericsConfig()
+    domain: DomainConfig = DomainConfig()
+    # Effective elastic modulus, set from the initial floe field:
+    # Modulus = 1.5e3*(mean(sqrt(A)) + min(sqrt(A)))  (Subzero.m:77)
+    modulus: float = 1.5e3 * 2e3
+    # Minimum floe area to stay in the simulation (Subzero.m:73)
+    min_floe_size: float = 1e6
+    # Ocean heat flux HFo (initialize_ocean.m:45); negative = freezing
+    heat_flux: float = 0.0
+    # Number of immovable boundary/topography floes occupying slots [0, n_boundary)
+    n_boundary: int = 0
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_modulus(areas) -> float:
+    """Elastic modulus from the initial floe field (Subzero.m:77)."""
+    import numpy as np
+
+    r = np.sqrt(np.asarray(areas, dtype=np.float64))
+    return float(1.5e3 * (r.mean() + r.min()))

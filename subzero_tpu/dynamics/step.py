@@ -1,0 +1,206 @@
+"""The fused physics step — batched equivalent of
+``floe_interactions_all.m`` (broad phase -> narrow phase -> force/torque
+reduction -> trajectory update -> periodic wrap).
+
+One ``step(state, forcing, step_idx) -> (state, aux)`` function, jittable and
+shardable.  Differences from the reference orchestration, by design:
+
+* No ghost floes: periodicity via minimum-image shifts in the broad phase
+  (see dynamics/broadphase.py).  Ghost force/torque reduction onto parents
+  (floe_interactions_all.m:218-246) is implicit.
+* No sequential symmetrization (:187-214): each unordered pair is evaluated
+  from both endpoints; the chord construction makes the two evaluations
+  exactly antisymmetric.
+* Kill/merge events (overlap>0.55 fusion, boundary absorption, :470-501) are
+  *flagged* in the aux output; topology surgery happens host-side at process
+  cadence (SURVEY.md section 7, hard part #2) rather than inline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..forcing import Forcing
+from ..geometry.polygon import pad_polygon
+from ..state import FloeState
+from .broadphase import neighbor_candidates
+from .contact import boundary_contact, contact_forces
+from .trajectory import floe_stress, push_stress, trajectory_update
+
+
+class StepAux(NamedTuple):
+    """Per-step auxiliary outputs (diagnostics + lifecycle flags)."""
+
+    n_collisions: jnp.ndarray     # collision count (calc_collisionNum.m)
+    merge_i: jnp.ndarray          # [N, K] floe i to be absorbed into nbr k
+    merge_j: jnp.ndarray          # [N, K] nbr k to be absorbed into floe i
+    absorb_boundary: jnp.ndarray  # [N] floe >75% outside domain
+    killed: jnp.ndarray           # [N] floes newly dead this step
+    nbr_overflow: jnp.ndarray     # broad-phase candidate overflow
+    overlap_area: jnp.ndarray     # [N] total overlap area per floe
+    collision_force: jnp.ndarray  # [N, 2]
+    collision_torque: jnp.ndarray  # [N]
+
+
+def domain_polygon(cfg: SimConfig, v_cap: int = 8) -> jnp.ndarray:
+    """Padded CCW rectangle |x|<=lx, |y|<=ly (initialize_boundaries.m)."""
+    lx, ly = cfg.domain.lx, cfg.domain.ly
+    rect = np.array([[-lx, -ly], [lx, -ly], [lx, ly], [-lx, ly]])
+    padded, _ = pad_polygon(rect, v_cap)
+    return jnp.asarray(padded, jnp.dtype(cfg.numerics.dtype))
+
+
+def physics_step(
+    state: FloeState,
+    forcing: Forcing,
+    step_idx: jnp.ndarray,
+    domain_verts: jnp.ndarray,
+    modulus: float,
+    heat_flux: float,
+    cfg: SimConfig,
+) -> tuple[FloeState, StepAux]:
+    """One full physics step (floe_interactions_all.m + calc_trajectory.m)."""
+    proc = cfg.processes
+    periodic = proc.periodic
+    dtype = state.x.dtype
+    n = state.n
+    idx_arange = jnp.arange(n)
+
+    do_int = (step_idx % proc.n_ocean_force) == 0
+
+    verts_world = state.verts_world()
+
+    # ---- broad phase ------------------------------------------------------
+    nbr = neighbor_candidates(
+        state.x, state.y, state.rmax, state.alive,
+        cfg.capacity.max_neighbors, periodic,
+        cfg.domain.lx, cfg.domain.ly,
+    )
+
+    # ---- narrow phase: floe-floe ------------------------------------------
+    if proc.collision:
+        pc = contact_forces(
+            verts_world, state.x, state.y, state.u, state.v, state.ksi,
+            state.h, state.area, nbr, modulus, cfg,
+        )
+    else:
+        zk = jnp.zeros(nbr.idx.shape, dtype)
+        pc_zero_bool = jnp.zeros(nbr.idx.shape, bool)
+        from .contact import PairContacts
+
+        pc = PairContacts(fx=zk, fy=zk, px=zk, py=zk, overlap=zk,
+                          merge_i=pc_zero_bool, merge_j=pc_zero_bool)
+
+    # ---- narrow phase: boundary -------------------------------------------
+    if not periodic:
+        bc = boundary_contact(
+            verts_world, state.x, state.y, state.u, state.v, state.ksi,
+            state.h, state.area, state.alive, domain_verts, modulus, cfg,
+        )
+        # Rectangular-wall force-component zeroing
+        # (floe_interactions_all.m:157-166): contact points on the x-walls
+        # push only in x, on the y-walls only in y.  Tolerance-based (the
+        # reference compares floats with ==).
+        eps = 1e-6 * cfg.domain.lx
+        on_y_wall = jnp.abs(jnp.abs(bc.py) - cfg.domain.ly) < eps
+        on_x_wall = jnp.abs(jnp.abs(bc.px) - cfg.domain.lx) < eps
+        b_fx = jnp.where(on_y_wall & ~on_x_wall, 0.0, bc.fx)
+        b_fy = jnp.where(on_x_wall & ~on_y_wall, 0.0, bc.fy)
+        bc = bc._replace(fx=b_fx, fy=b_fy)
+    else:
+        zn = jnp.zeros((n,), dtype)
+        from .contact import BoundaryContact
+
+        bc = BoundaryContact(
+            fx=zn, fy=zn, px=zn, py=zn, overlap=zn,
+            absorb=jnp.zeros((n,), bool), out=jnp.zeros((n,), bool),
+        )
+
+    # ---- reduce forces & torques -----------------------------------------
+    f_valid = (jnp.abs(pc.fx) + jnp.abs(pc.fy)) > 0
+    b_valid = (jnp.abs(bc.fx) + jnp.abs(bc.fy)) > 0
+
+    cf_x = jnp.sum(pc.fx, axis=1) + bc.fx
+    cf_y = jnp.sum(pc.fy, axis=1) + bc.fy
+
+    # torque about own centroid (floe_interactions_all.m:255-259)
+    tq_pairs = (pc.px - state.x[:, None]) * pc.fy - (
+        pc.py - state.y[:, None]
+    ) * pc.fx
+    tq_b = (bc.px - state.x) * bc.fy - (bc.py - state.y) * bc.fx
+    cf_t = jnp.sum(jnp.where(f_valid, tq_pairs, 0.0), axis=1) + jnp.where(
+        b_valid, tq_b, 0.0
+    )
+
+    overlap_total = jnp.sum(pc.overlap, axis=1) + bc.overlap
+
+    # ---- stress ring buffer ----------------------------------------------
+    all_fx = jnp.concatenate([pc.fx, bc.fx[:, None]], axis=1)
+    all_fy = jnp.concatenate([pc.fy, bc.fy[:, None]], axis=1)
+    all_px = jnp.concatenate([pc.px, bc.px[:, None]], axis=1)
+    all_py = jnp.concatenate([pc.py, bc.py[:, None]], axis=1)
+    all_valid = jnp.concatenate([f_valid, b_valid[:, None]], axis=1)
+    s_new = floe_stress(state, all_fx, all_fy, all_px, all_py, all_valid)
+    state = push_stress(state, s_new, step_idx)
+
+    state = state.replace(overlap_area=overlap_total)
+
+    # ---- kill flags -------------------------------------------------------
+    alive_before = state.alive
+    killed_boundary = bc.absorb | bc.out
+    state = state.replace(alive=state.alive & ~killed_boundary)
+
+    # ---- trajectory update ------------------------------------------------
+    state = trajectory_update(
+        state, forcing, cf_x, cf_y, cf_t, heat_flux, do_int, cfg
+    )
+
+    # ---- periodic wrap (floe_interactions_all.m:267-277) ------------------
+    if periodic:
+        lx, ly = cfg.domain.lx, cfg.domain.ly
+        x = state.x
+        y = state.y
+        x = jnp.where(jnp.abs(x) > lx, x - 2 * lx * jnp.sign(x), x)
+        y = jnp.where(jnp.abs(y) > ly, y - 2 * ly * jnp.sign(y), y)
+        state = state.replace(x=x, y=y)
+
+    # ---- diagnostics ------------------------------------------------------
+    # calc_collisionNum.m: floe-floe contact pairs /2 + boundary contacts.
+    n_collisions = (
+        jnp.sum(f_valid.astype(jnp.int32)) // 2
+        + jnp.sum(b_valid.astype(jnp.int32))
+    )
+
+    aux = StepAux(
+        n_collisions=n_collisions,
+        merge_i=pc.merge_i,
+        merge_j=pc.merge_j,
+        absorb_boundary=bc.absorb,
+        killed=alive_before & ~state.alive,
+        nbr_overflow=nbr.overflow,
+        overlap_area=overlap_total,
+        collision_force=jnp.stack([cf_x, cf_y], axis=-1),
+        collision_torque=cf_t,
+    )
+    return state, aux
+
+
+def make_step_fn(cfg: SimConfig, forcing: Forcing, modulus: float,
+                 heat_flux: float = 0.0):
+    """Build a jitted ``step(state, step_idx) -> (state, aux)``."""
+    domain_verts = domain_polygon(cfg)
+
+    @jax.jit
+    def step(state: FloeState, step_idx):
+        return physics_step(
+            state, forcing, step_idx, domain_verts, modulus, heat_flux, cfg
+        )
+
+    return step
