@@ -1,0 +1,199 @@
+"""Simulation driver — the functional replacement of the ``Subzero.m``
+script loop.
+
+The reference interleaves physics steps with process passes gated on
+``mod(i_step, K)`` (Subzero.m:151-378).  Here the inner loop is a
+``lax.scan`` over chunks of jitted physics steps (one device dispatch per
+chunk, not per pair as in the MATLAB/MEX split — SURVEY.md section 3.2);
+host-side work (diagnostics output, checkpointing, lifecycle topology
+surgery) happens only at chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+from .diagnostics import dissolved_mass_grid, eulerian_data, total_mass
+from .dynamics.step import StepAux, domain_polygon, physics_step
+from .forcing import Forcing, gyre_ocean
+from .state import FloeState
+
+
+@dataclasses.dataclass
+class Simulation:
+    """Owns the state + step function and runs the time loop."""
+
+    cfg: SimConfig
+    state: FloeState
+    forcing: Forcing
+    modulus: float
+    heat_flux: float = 0.0
+    nx_coarse: int = 10
+    ny_coarse: int = 10
+    step_idx: int = 0
+    dissolved: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.dissolved is None:
+            self.dissolved = np.zeros((self.ny_coarse, self.nx_coarse))
+        self._domain = domain_polygon(self.cfg)
+        cfg = self.cfg
+        modulus = self.modulus
+        heat_flux = self.heat_flux
+        domain = self._domain
+        nx, ny = self.nx_coarse, self.ny_coarse
+
+        @jax.jit
+        def chunk_fn(state: FloeState, start: jnp.ndarray, n: jnp.ndarray,
+                     dissolved: jnp.ndarray):
+            """Run ``n`` physics steps (bounded by static chunk size)."""
+
+            def body(carry, i):
+                st, dis = carry
+                idx = start + i
+
+                def do(args):
+                    st, dis = args
+                    st2, aux = physics_step(
+                        st, self.forcing, idx, domain, modulus, heat_flux,
+                        cfg,
+                    )
+                    dis2 = dis + dissolved_mass_grid(st, aux.killed, cfg,
+                                                     nx, ny)
+                    return (st2, dis2), aux
+
+                def skip(args):
+                    st, dis = args
+                    zaux = _zero_aux(st, cfg)
+                    return (st, dis), zaux
+
+                (st2, dis2), aux = jax.lax.cond(i < n, do, skip, (st, dis))
+                return (st2, dis2), aux
+
+            (state, dissolved), auxes = jax.lax.scan(
+                body, (state, dissolved), jnp.arange(self._chunk)
+            )
+            return state, dissolved, auxes
+
+        self._chunk = 10
+        self._chunk_fn = chunk_fn
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, n_steps: int,
+            on_chunk: Callable[["Simulation", StepAux], None] | None = None,
+            log_every: int = 0) -> "Simulation":
+        """Advance ``n_steps``; host callbacks at chunk boundaries."""
+        done = 0
+        t0 = time.time()
+        dissolved = jnp.asarray(self.dissolved, self.state.x.dtype)
+        while done < n_steps:
+            n = min(self._chunk, n_steps - done)
+            self.state, dissolved, auxes = self._chunk_fn(
+                self.state, jnp.asarray(self.step_idx), jnp.asarray(n),
+                dissolved,
+            )
+            self.step_idx += n
+            done += n
+            if on_chunk is not None:
+                on_chunk(self, auxes)
+            if log_every and (self.step_idx % log_every == 0):
+                ncol = int(np.asarray(auxes.n_collisions)[n - 1])
+                alive = int(np.sum(np.asarray(self.state.alive)))
+                rate = done / max(time.time() - t0, 1e-9)
+                print(
+                    f"step {self.step_idx}: {alive} floes, "
+                    f"{ncol} collisions, {rate:.1f} steps/s"
+                )
+        self.dissolved = np.asarray(dissolved)
+        return self
+
+    # -- diagnostics -------------------------------------------------------
+
+    def eulerian(self):
+        return eulerian_data(self.state, self.cfg, self.nx_coarse,
+                             self.ny_coarse)
+
+    def total_mass(self) -> float:
+        return float(total_mass(self.state))
+
+    # -- checkpoint / resume (SURVEY.md section 5: orbax-style full-state
+    # snapshots replacing the .mat dumps at Subzero.m:285) ------------------
+
+    def save(self, path: str | Path):
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        arrays = {
+            f.name: np.asarray(getattr(self.state, f.name))
+            for f in dataclasses.fields(self.state)
+        }
+        np.savez_compressed(path / "state.npz", **arrays)
+        meta = {
+            "step_idx": self.step_idx,
+            "modulus": self.modulus,
+            "heat_flux": self.heat_flux,
+            "nx_coarse": self.nx_coarse,
+            "ny_coarse": self.ny_coarse,
+            "cfg": dataclasses.asdict(self.cfg),
+        }
+        (path / "meta.json").write_text(json.dumps(meta, indent=1))
+        np.save(path / "dissolved.npy", self.dissolved)
+
+    @classmethod
+    def load(cls, path: str | Path, cfg: SimConfig, forcing: Forcing,
+             ) -> "Simulation":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        data = np.load(path / "state.npz")
+        from .state import empty_state
+
+        proto = empty_state(cfg)
+        state = proto.replace(**{
+            k: jnp.asarray(data[k], getattr(proto, k).dtype)
+            for k in data.files
+        })
+        return cls(
+            cfg=cfg, state=state, forcing=forcing,
+            modulus=meta["modulus"], heat_flux=meta["heat_flux"],
+            nx_coarse=meta["nx_coarse"], ny_coarse=meta["ny_coarse"],
+            step_idx=meta["step_idx"],
+            dissolved=np.load(path / "dissolved.npy"),
+        )
+
+
+def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
+    n = state.n
+    k = cfg.capacity.max_neighbors
+    dt = state.x.dtype
+    return StepAux(
+        n_collisions=jnp.zeros((), jnp.int32),
+        merge_i=jnp.zeros((n, k), bool),
+        merge_j=jnp.zeros((n, k), bool),
+        absorb_boundary=jnp.zeros((n,), bool),
+        killed=jnp.zeros((n,), bool),
+        nbr_overflow=jnp.zeros((), bool),
+        overlap_area=jnp.zeros((n,), dt),
+        collision_force=jnp.zeros((n, 2), dt),
+        collision_torque=jnp.zeros((n,), dt),
+    )
+
+
+def out_of_box_sim(seed: int = 0, n_floes: int = 10) -> Simulation:
+    """The reference's out-of-box configuration: ~10 Voronoi floes in a
+    +-1e5 m box over the 4-gyre ocean, dt=10 s, collisions + corners only
+    (README.md 'Running your first model'; Subzero.m:6-36)."""
+    from .init import initial_state
+
+    cfg = SimConfig()
+    state, modulus = initial_state(cfg, 1.0, n_floes, 0.25, seed=seed)
+    forcing = gyre_ocean()
+    return Simulation(cfg=cfg, state=state, forcing=forcing, modulus=modulus)

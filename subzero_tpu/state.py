@@ -22,15 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import SimConfig
-from .geometry.polygon import (
-    pad_polygon,
-    poly_angles,
-    poly_area,
-    poly_centroid,
-    poly_inertia_z,
-    poly_rmax,
-    points_in_polygon,
-)
+from .geometry.polygon import pad_polygon
 
 
 @jax.tree_util.register_dataclass
@@ -173,33 +165,45 @@ def make_floe_arrays(
 
     verts = np.zeros((n, v, 2))
     nv = np.zeros((n,), np.int32)
-    cx = np.zeros((n,))
-    cy = np.zeros((n,))
-    mc_xy = np.zeros((n, p, 2))
-    mc_in = np.zeros((n, p), bool)
 
     for i, poly in enumerate(polys):
-        padded, count = pad_polygon(poly, v)
-        c = np.asarray(poly_centroid(jnp.asarray(padded)))
-        cx[i], cy[i] = c
-        verts[i] = padded - c  # body frame (c0, initialize_floe_values.m:16)
-        nv[i] = count
+        verts[i], nv[i] = pad_polygon(poly, v)
 
-    varr = jnp.asarray(verts)
-    area = np.asarray(poly_area(varr))
-    rmax = np.asarray(poly_rmax(varr))
-    inertia = np.asarray(
-        poly_inertia_z(varr, jnp.asarray(heights), cfg.physics.rho_ice)
-    )
+    # All geometric properties in one vectorized numpy pass (the padded-edge
+    # convention makes every boundary integral a plain masked sum).
+    x0, y0 = verts[..., 0], verts[..., 1]
+    x1 = np.roll(x0, -1, axis=1)
+    y1 = np.roll(y0, -1, axis=1)
+    w = x0 * y1 - x1 * y0
+    area = 0.5 * np.sum(w, axis=1)
+    cx = np.sum(w * (x0 + x1), axis=1) / (6.0 * area)
+    cy = np.sum(w * (y0 + y1), axis=1) / (6.0 * area)
+    verts = verts - np.stack([cx, cy], 1)[:, None, :]  # body frame (c0)
+
+    # recompute moments about the centroid (initialize_floe_values.m:19)
+    x0, y0 = verts[..., 0], verts[..., 1]
+    x1 = np.roll(x0, -1, axis=1)
+    y1 = np.roll(y0, -1, axis=1)
+    w = x0 * y1 - x1 * y0
+    ixx = np.sum(w * ((y0 + y1) ** 2 - y0 * y1), axis=1) / 12.0
+    iyy = np.sum(w * ((x0 + x1) ** 2 - x0 * x1), axis=1) / 12.0
+    inertia = np.abs(ixx + iyy) * heights * cfg.physics.rho_ice
+    rmax = np.sqrt(np.max(x0**2 + y0**2, axis=1))
     mass = area * heights * cfg.physics.rho_ice
 
-    for i in range(n):
-        # Uniform samples in the rmax bounding square (body frame).
-        pts = rmax[i] * (2.0 * rng.random((p, 2)) - 1.0)
-        mc_xy[i] = pts
-        mc_in[i] = np.asarray(
-            points_in_polygon(jnp.asarray(pts), varr[i])
-        )
+    # Monte-Carlo masks: uniform in the rmax bounding square (body frame),
+    # crossing-number PIP, fully vectorized [n, p] x [n, v].
+    mc_xy = rmax[:, None, None] * (2.0 * rng.random((n, p, 2)) - 1.0)
+    px = mc_xy[..., 0][:, :, None]
+    py = mc_xy[..., 1][:, :, None]
+    ex0, ey0 = x0[:, None, :], y0[:, None, :]
+    ex1, ey1 = x1[:, None, :], y1[:, None, :]
+    cond = (ey0 > py) != (ey1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(ey1 == ey0, 0.0, (py - ey0) / np.where(
+            ey1 == ey0, 1.0, ey1 - ey0))
+    xint = ex0 + t * (ex1 - ex0)
+    mc_in = (np.sum(cond & (px < xint), axis=2) % 2) == 1
 
     return dict(
         verts_body=verts, nv=nv, x=cx, y=cy,
@@ -221,17 +225,20 @@ def state_from_polygons(
     n_cap = cfg.capacity.max_floes
     if len(polys) > n_cap:
         raise ValueError(f"{len(polys)} floes > capacity {n_cap}")
-    st = empty_state(cfg)
     arrs = make_floe_arrays(polys, heights, cfg, seed)
-    dt = st.x.dtype
+    # Assemble host-side (single device transfer per field at the end).
+    proto = empty_state(cfg)
     upd = {}
     for k, val in arrs.items():
-        cur = getattr(st, k)
-        buf = np.asarray(cur).copy()
+        cur = getattr(proto, k)
+        buf = np.zeros(cur.shape, cur.dtype)
+        if k in ("h", "mass", "inertia", "area"):
+            buf[:] = 1.0  # dead-slot defaults avoid 0-divides
         buf[: len(polys)] = val
         upd[k] = jnp.asarray(buf, cur.dtype)
-    st = st.replace(**upd)
+    st = proto.replace(**upd)
     if velocities is not None:
+        dt = proto.x.dtype
         vel = np.zeros((n_cap, 2))
         vel[: len(polys)] = velocities
         st = st.replace(
