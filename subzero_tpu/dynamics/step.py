@@ -47,6 +47,16 @@ class StepAux(NamedTuple):
     overlap_area: jnp.ndarray     # [N] total overlap area per floe
     collision_force: jnp.ndarray  # [N, 2]
     collision_torque: jnp.ndarray  # [N]
+    # pair-level contact info for the lifecycle passes (corner grinding,
+    # fracture plastic deformation, ridge/raft candidate selection)
+    nbr_idx: jnp.ndarray          # [N, K] neighbor slot per candidate
+    pair_valid: jnp.ndarray       # [N, K] contact force present
+    pair_px: jnp.ndarray          # [N, K] contact point
+    pair_py: jnp.ndarray          # [N, K]
+    pair_fx: jnp.ndarray          # [N, K] contact force on i from nbr
+    pair_fy: jnp.ndarray          # [N, K]
+    pair_overlap: jnp.ndarray     # [N, K] overlap area
+    boundary_contact: jnp.ndarray  # [N] floe touches the domain boundary
 
 
 def domain_polygon(cfg: SimConfig, v_cap: int = 8) -> jnp.ndarray:
@@ -155,6 +165,12 @@ def physics_step(
     # ---- kill flags -------------------------------------------------------
     alive_before = state.alive
     killed_boundary = bc.absorb | bc.out
+    if not proc.keep_min:
+        # small-floe cull, device-side (Subzero.m:366-372)
+        too_small = (state.area < cfg.min_floe_size) & (
+            idx_arange >= cfg.n_boundary
+        )
+        killed_boundary = killed_boundary | too_small
     state = state.replace(alive=state.alive & ~killed_boundary)
 
     # ---- trajectory update ------------------------------------------------
@@ -188,6 +204,14 @@ def physics_step(
         overlap_area=overlap_total,
         collision_force=jnp.stack([cf_x, cf_y], axis=-1),
         collision_torque=cf_t,
+        nbr_idx=nbr.idx,
+        pair_valid=f_valid,
+        pair_px=pc.px,
+        pair_py=pc.py,
+        pair_fx=pc.fx,
+        pair_fy=pc.fy,
+        pair_overlap=pc.overlap,
+        boundary_contact=b_valid | (bc.overlap > 0),
     )
     return state, aux
 

@@ -1,0 +1,181 @@
+"""Stress fracture — equivalent of ``Physical_Processes/fracture.m`` +
+``fracture_floe.m``.
+
+Mohr-Coulomb cone criterion on the principal stresses (fracture.m:21-45,
+the cone overrides the dead Hibler-ellipse block at :9-19); floes whose
+stress state falls OUTSIDE the cone, above the minimum size, and not
+boundary floes are split into ``fracture_n_pieces`` pieces by a bounded
+Voronoi tessellation of random interior seeds (fracture_floe.m:54-75).
+Children inherit velocity and AB2 history, get mass proportional to area
+(equal thickness, :82-83), zeroed stress history (:90-92), and alpha = 0.
+
+Design delta (documented): the pre-fracture plastic-deformation clip against
+the deepest-penetration neighbor (fracture_floe.m:14-52) is applied when the
+caller provides contact info; it subtracts the half-penetration-shifted
+neighbor and keeps the result if it retains >90% of the area.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimConfig
+from ..native import poly_boolean, poly_area
+from .. import hostgeom as hg
+from ..init import _clip_halfplane
+from .host import HostView, NewFloe, StateEdit
+
+
+def mohr_cone_vertices(cfg: SimConfig) -> np.ndarray:
+    """The Mohr-Coulomb cone polygon in principal-stress space
+    (fracture.m:21-28)."""
+    q = cfg.processes.fracture_q
+    sig_c = cfg.processes.fracture_sig_c
+    sig1 = (1 / q + 1) * sig_c / (1 / q - q)
+    sig2 = q * sig1 + sig_c
+    sig11 = -3.375e4
+    sig22 = q * sig11 + sig_c
+    mohr_x = -np.array([sig1, sig11, sig22])
+    mohr_y = -np.array([sig2, sig22, sig11])
+    return np.stack([mohr_x, mohr_y], axis=1)
+
+
+def principal_stresses(stress: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Eigenvalues of the symmetric 2x2 stress [..., (xx, yy, xy)]."""
+    sxx, syy, sxy = stress[..., 0], stress[..., 1], stress[..., 2]
+    tr2 = 0.5 * (sxx + syy)
+    disc = np.sqrt(np.maximum(0.25 * (sxx - syy) ** 2 + sxy**2, 0.0))
+    return tr2 + disc, tr2 - disc
+
+
+def _point_in_poly(p, poly) -> bool:
+    x, y = p
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n]
+        if (y0 > y) != (y1 > y):
+            if x < x0 + (y - y0) / (y1 - y0) * (x1 - x0):
+                inside = not inside
+    return inside
+
+
+def voronoi_split(poly: np.ndarray, n_pieces: int, rng: np.random.Generator,
+                  max_tries: int = 20) -> list[np.ndarray]:
+    """Split a (possibly concave) polygon into Voronoi pieces of random
+    interior-square seeds (fracture_floe.m:54-75): seeds are drawn in the
+    rmax bounding square until at least one is inside; Voronoi cells of the
+    bounding box are intersected with the polygon; every resulting region
+    becomes a piece."""
+    c = hg.centroid(poly)
+    local = poly - c
+    rmax = float(np.sqrt(np.max(np.sum(local**2, axis=1))))
+    seeds = None
+    for _ in range(max_tries):
+        cand = rmax * (2.0 * rng.random((n_pieces, 2)) - 1.0)
+        if any(_point_in_poly(s, local) for s in cand):
+            seeds = cand
+            break
+    if seeds is None:
+        return [poly]
+
+    box = np.array([[-1.1, -1.1], [1.1, -1.1], [1.1, 1.1], [-1.1, 1.1]]) * rmax
+    pieces: list[np.ndarray] = []
+    for i, s in enumerate(seeds):
+        cell = box.copy()
+        for j, t in enumerate(seeds):
+            if i == j or len(cell) == 0:
+                continue
+            d = t - s
+            m = 0.5 * (s + t)
+            cell = _clip_halfplane(cell, d, float(d @ m))
+        if len(cell) < 3:
+            continue
+        for region in poly_boolean(local, cell, "int"):
+            if poly_area(region) > 0:  # outer contours only
+                pieces.append(region + c)
+    return pieces if pieces else [poly]
+
+
+def plastic_deform(view: HostView, i: int, nbr: int, fx: float, fy: float,
+                   cfg: SimConfig) -> np.ndarray | None:
+    """Pre-fracture permanent deformation (fracture_floe.m:14-52): subtract
+    the neighbor shifted by half the penetration depth along the contact
+    force; keep if >90% of the area remains."""
+    p = view.poly(i)
+    q = view.poly(nbr)
+    inter = poly_boolean(p, q, "int")
+    if not inter:
+        return None
+    biggest = max(inter, key=poly_area)
+    cen = hg.centroid(biggest)
+    # penetration depth ~ min distance from overlap centroid to its boundary
+    d = np.min(np.sqrt(np.sum((biggest - cen) ** 2, axis=1)))
+    f = float(np.hypot(fx, fy))
+    if f <= 0:
+        return None
+    shift = np.array([fx, fy]) * abs(d) / (2 * f)
+    cut = poly_boolean(p, q + shift, "dif")
+    if not cut:
+        return None
+    new = max(cut, key=poly_area)
+    if poly_area(new) / max(view.area[i], 1e-12) > 0.9:
+        return new
+    return None
+
+
+def fracture_pass(
+    view: HostView,
+    cfg: SimConfig,
+    rng: np.random.Generator,
+    deform_info: dict[int, tuple[int, float, float]] | None = None,
+) -> StateEdit:
+    """One fracture pass over the whole population (fracture.m).
+
+    deform_info: optional {slot: (neighbor_slot, fx, fy)} of each floe's
+    deepest-overlap contact for the plastic-deformation substep.
+    """
+    edit = StateEdit()
+    mohr = mohr_cone_vertices(cfg)
+    p1, p2 = principal_stresses(view.stress)
+    n_b = cfg.n_boundary
+
+    for i in range(view.n):
+        if not view.alive[i] or i < n_b or view.polys[i] is None:
+            continue
+        if view.area[i] < cfg.min_floe_size:
+            continue
+        if _point_in_poly((p1[i], p2[i]), mohr):
+            continue  # inside the yield surface: no fracture
+
+        poly = view.poly(i)
+        if deform_info and i in deform_info:
+            nbr, fx, fy = deform_info[i]
+            if 0 <= nbr < view.n and view.alive[nbr]:
+                newp = plastic_deform(view, i, nbr, fx, fy, cfg)
+                if newp is not None:
+                    poly = newp
+
+        pieces = voronoi_split(poly, cfg.processes.fracture_n_pieces, rng)
+        if len(pieces) <= 1:
+            continue
+
+        area_parent = view.area[i]
+        h_parent = view.h[i]
+        edit.kills.add(i)
+        for piece in pieces:
+            a_p = poly_area(piece)
+            if a_p <= 0:
+                continue
+            edit.new_floes.append(NewFloe(
+                poly=piece,
+                h=h_parent,      # equal thickness: mass prop. to area (:82)
+                u=view.u[i], v=view.v[i], ksi=view.ksi[i],
+                dx_p=view.dx_p[i], dy_p=view.dy_p[i],
+                du_p=view.du_p[i], dv_p=view.dv_p[i],
+                dksi_p=view.dksi_p[i],
+                stress_blend=[],          # zeroed stress history (:90-92)
+                strain=view.strain[i].copy(),
+            ))
+    return edit

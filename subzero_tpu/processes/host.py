@@ -1,0 +1,259 @@
+"""Host-side view of the floe state + slot-edit application.
+
+The lifecycle processes work on numpy copies of the per-floe scalars and
+world-frame polygons (cheap: O(N) scalars + O(N V) vertices).  The big
+device-resident buffers (stress ring history, Monte-Carlo masks) are never
+pulled wholesale; edits touch only affected slots via device scatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..state import FloeState, make_floe_arrays
+
+SCALARS = (
+    "x", "y", "alpha", "u", "v", "ksi", "h", "mass", "inertia", "area",
+    "rmax", "dx_p", "dy_p", "dalpha_p", "du_p", "dv_p", "dksi_p",
+    "overlap_area",
+)
+
+
+@dataclass
+class HostView:
+    """Numpy snapshot of the floe population (live slots only have
+    meaningful values; dead slots flagged by ``alive``)."""
+
+    n: int
+    alive: np.ndarray
+    nv: np.ndarray
+    polys: list[np.ndarray | None]      # world-frame [nv, 2] or None if dead
+    stress: np.ndarray                   # [N, 3] mean stress
+    strain: np.ndarray                   # [N, 3]
+    # scalar fields, each [N]
+    fields: dict[str, np.ndarray] = field(default_factory=dict)
+
+    def __getattr__(self, name):
+        try:
+            return self.fields[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def poly(self, i: int) -> np.ndarray:
+        p = self.polys[i]
+        if p is None:
+            raise ValueError(f"slot {i} is dead")
+        return p
+
+
+def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
+    alive = np.asarray(state.alive)
+    nv = np.asarray(state.nv)
+    verts = np.asarray(state.verts_world())
+    polys: list[np.ndarray | None] = [
+        verts[i, : nv[i]].astype(np.float64) if alive[i] and nv[i] >= 3 else None
+        for i in range(state.n)
+    ]
+    fields = {k: np.asarray(getattr(state, k)) for k in SCALARS}
+    return HostView(
+        n=state.n, alive=alive.copy(), nv=nv, polys=polys,
+        stress=np.asarray(state.stress), strain=np.asarray(state.strain),
+        fields=fields,
+    )
+
+
+@dataclass
+class NewFloe:
+    """A floe to be materialized into a free slot.
+
+    stress_blend: [(parent_slot, weight)] — the new floe's stress ring
+    history is Σ w_k · hist[parent_k] (covers fracture's zeroing (empty
+    list), fusion's mass-weighted average, and corner grinding's area
+    scaling with a single rule).
+    """
+
+    poly: np.ndarray                       # world frame [n, 2]
+    h: float
+    u: float = 0.0
+    v: float = 0.0
+    ksi: float = 0.0
+    dx_p: float = 0.0
+    dy_p: float = 0.0
+    du_p: float = 0.0
+    dv_p: float = 0.0
+    dksi_p: float = 0.0
+    strain: np.ndarray | None = None       # [3]
+    stress_blend: list[tuple[int, float]] = field(default_factory=list)
+    mass: float | None = None              # override mass (h then derived)
+
+
+@dataclass
+class StateEdit:
+    """Accumulated topology changes from one lifecycle pass."""
+
+    kills: set[int] = field(default_factory=set)
+    # kills whose mass must be binned into the dissolved field
+    # (calc_dissolved_mass.m; fusion kills conserve mass and stay out)
+    dissolve_kills: set[int] = field(default_factory=set)
+    new_floes: list[NewFloe] = field(default_factory=list)
+    # in-place scalar updates {slot: {field: value}} for floes that changed
+    # thickness/mass without changing shape (ridging winners)
+    updates: dict[int, dict[str, float]] = field(default_factory=dict)
+    # shape replacement for an existing slot (keeps identity/kinematics):
+    # {slot: (poly, new_mass)}
+    reshapes: dict[int, tuple[np.ndarray, float]] = field(default_factory=dict)
+
+    def merge(self, other: "StateEdit") -> None:
+        self.kills |= other.kills
+        self.dissolve_kills |= other.dissolve_kills
+        self.new_floes.extend(other.new_floes)
+        for k, v in other.updates.items():
+            self.updates.setdefault(k, {}).update(v)
+        self.reshapes.update(other.reshapes)
+
+    @property
+    def empty(self) -> bool:
+        return (not self.kills and not self.dissolve_kills
+                and not self.new_floes and not self.updates
+                and not self.reshapes)
+
+
+def _free_slots(alive: np.ndarray, kills: set[int], n_needed: int,
+                n_boundary: int) -> list[int]:
+    free = [i for i in range(len(alive))
+            if (not alive[i] or i in kills) and i >= n_boundary]
+    if len(free) < n_needed:
+        raise RuntimeError(
+            f"floe capacity exhausted: need {n_needed} slots, have "
+            f"{len(free)} (raise CapacityConfig.max_floes)"
+        )
+    return free[:n_needed]
+
+
+def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
+                seed: int = 0) -> FloeState:
+    """Apply kills / reshapes / updates / births to the device state."""
+    if edit.empty:
+        return state
+
+    dt = state.x.dtype
+    alive = np.asarray(state.alive).copy()
+
+    # -- kills -------------------------------------------------------------
+    for i in edit.kills | edit.dissolve_kills:
+        alive[i] = False
+
+    # -- scalar updates ----------------------------------------------------
+    upd_fields: dict[str, np.ndarray] = {}
+
+    def fld(name):
+        if name not in upd_fields:
+            upd_fields[name] = np.asarray(getattr(state, name)).copy()
+        return upd_fields[name]
+
+    for slot, kv in edit.updates.items():
+        for k, v in kv.items():
+            fld(k)[slot] = v
+
+    # -- births (reshapes are births into the same slot) -------------------
+    births: list[tuple[int, NewFloe]] = []
+    reshape_slots = []
+    for slot, (poly, new_mass) in edit.reshapes.items():
+        nf = NewFloe(
+            poly=poly, h=0.0, mass=new_mass,
+            u=float(np.asarray(state.u)[slot]),
+            v=float(np.asarray(state.v)[slot]),
+            ksi=float(np.asarray(state.ksi)[slot]),
+            dx_p=float(np.asarray(state.dx_p)[slot]),
+            dy_p=float(np.asarray(state.dy_p)[slot]),
+            du_p=float(np.asarray(state.du_p)[slot]),
+            dv_p=float(np.asarray(state.dv_p)[slot]),
+            dksi_p=float(np.asarray(state.dksi_p)[slot]),
+            stress_blend=[(slot, 1.0)],
+        )
+        births.append((slot, nf))
+        reshape_slots.append(slot)
+
+    if edit.new_floes:
+        free = _free_slots(alive, edit.kills | edit.dissolve_kills,
+                           len(edit.new_floes), cfg.n_boundary)
+        births.extend(zip(free, edit.new_floes))
+
+    if not births and not upd_fields and not edit.kills \
+            and not edit.dissolve_kills:
+        return state
+
+    state_np: dict[str, np.ndarray] = {}
+    if births:
+        slots = [s for s, _ in births]
+        floes = [f for _, f in births]
+        heights = np.array([
+            f.h if f.mass is None else 1.0 for f in floes
+        ])
+        arrs = make_floe_arrays([f.poly for f in floes], heights, cfg,
+                                seed=seed)
+        if any(f.mass is not None for f in floes):
+            for k, f in enumerate(floes):
+                if f.mass is not None:
+                    area_k = arrs["area"][k]
+                    h_k = f.mass / (cfg.physics.rho_ice * area_k)
+                    arrs["h"][k] = h_k
+                    arrs["mass"][k] = f.mass
+                    arrs["inertia"][k] = arrs["inertia"][k] * h_k  # was h=1
+        # kinematics + AB2 history
+        for name in ("u", "v", "ksi", "dx_p", "dy_p", "du_p", "dv_p",
+                     "dksi_p"):
+            arrs[name] = np.array([getattr(f, name) for f in floes])
+        arrs["alpha"] = np.zeros(len(floes))
+        arrs["dalpha_p"] = np.zeros(len(floes))
+        arrs["fx_oa"] = np.zeros(len(floes))
+        arrs["fy_oa"] = np.zeros(len(floes))
+        arrs["tq_oa"] = np.zeros(len(floes))
+        arrs["overlap_area"] = np.zeros(len(floes))
+        arrs["strain"] = np.stack([
+            f.strain if f.strain is not None else np.zeros(3) for f in floes
+        ])
+        del arrs["alive"]
+
+        for k in arrs:
+            buf = state_np.get(k)
+            if buf is None:
+                buf = upd_fields.get(k)
+            if buf is None:
+                buf = np.asarray(getattr(state, k)).copy()
+            buf[np.asarray(slots)] = arrs[k]
+            state_np[k] = buf
+        for k, buf in upd_fields.items():
+            state_np.setdefault(k, buf)
+
+        for s in slots:
+            alive[s] = True
+
+        # stress ring-history blends: device-side scatter over affected rows
+        hist = state.stress_hist
+        rows = []
+        for s, f in births:
+            if f.stress_blend:
+                row = sum(w * hist[p] for p, w in f.stress_blend)
+            else:
+                row = jnp.zeros_like(hist[0])
+            rows.append(row)
+        hist = hist.at[jnp.asarray(slots)].set(jnp.stack(rows))
+        stress_mean = jnp.mean(hist, axis=1)
+        state = state.replace(stress_hist=hist, stress=stress_mean)
+    else:
+        state_np = dict(upd_fields)
+
+    # inertia update when h changed without reshape (ridge winner):
+    # reference scales inertia by h_new/h_old (ridge_values_update.m:18),
+    # handled by callers through the updates dict.
+
+    upd = {k: jnp.asarray(v, getattr(state, k).dtype)
+           for k, v in state_np.items()}
+    upd["alive"] = jnp.asarray(alive)
+    return state.replace(**upd)

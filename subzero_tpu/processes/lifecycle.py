@@ -1,0 +1,224 @@
+"""Lifecycle orchestrator: applies the process passes at their cadences.
+
+This is the host-side half of the reference driver loop (Subzero.m:151-378):
+the device runs chunks of physics steps; at chunk boundaries this module
+fires whichever processes are due, performs the topology surgery with the
+native engine, and scatters the edits back into the device state.
+
+Cadence map (Subzero.m):
+  :169  every n_simplify=20   FloeSimplify (vertex cap 30)
+  :275  every n_pack=500      create_new_ice (PACKING && freezing)
+  inline (floe_interactions_all.m:288-465, every doInt step)
+                              ridging / rafting
+  :317  every 25/500/5000     weld at 3x3 / 2x2 / 1x1 pyramid scales
+  :333  every n_fracture=75   Mohr-Coulomb fracture
+  :339  every n_corners=10    corner grinding on ~30% random floes
+  :366  every step            kill floes below min_floe_size
+plus the overlap>0.55 merge kills flagged by the contact pass
+(floe_interactions_all.m:470-501: area>2e4 -> fuse into partner, else
+dissolve).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimConfig
+from ..state import FloeState
+from .corners import corners_pass
+from .fracture import fracture_pass
+from .fuse import fuse_floes
+from .host import StateEdit, apply_edits, extract_view
+from .pack import pack_pass
+from .ridge_raft import ridge_raft_pass
+from .simplify import simplify_pass
+from .weld import weld_pass, weld_schedule
+
+
+class Lifecycle:
+    """Stateful orchestrator bound to one simulation run."""
+
+    def __init__(self, cfg: SimConfig, domain_poly: np.ndarray,
+                 seed: int = 0, amax: float | None = None,
+                 pack_h0: float = 0.0, pack_target: float = 1.0,
+                 nx: int = 10, ny: int = 10):
+        self.cfg = cfg
+        self.domain_poly = domain_poly
+        self.rng = np.random.default_rng(seed)
+        self.amax = amax          # max initial floe area (weld pyramid cap)
+        self.pack_h0 = pack_h0
+        self.pack_target = pack_target
+        self.nx = nx
+        self.ny = ny
+
+    # ------------------------------------------------------------------
+
+    def step(self, state: FloeState, aux, step_idx: int,
+             dissolved: np.ndarray) -> tuple[FloeState, np.ndarray]:
+        """Fire all due processes; returns (new_state, dissolved_grid)."""
+        cfg = self.cfg
+        proc = cfg.processes
+        due = lambda k: k > 0 and step_idx % k == 0  # noqa: E731
+
+        want_merge = aux is not None
+        want_ridge = proc.ridging and due(proc.n_ocean_force)
+        want_raft = proc.rafting and due(proc.n_ocean_force)
+        want_frac = proc.fractures and due(proc.n_fracture)
+        want_corner = proc.corners and due(proc.n_corners)
+        want_simp = due(proc.n_simplify)
+        want_pack = proc.packing and due(proc.n_pack) and self.pack_h0 > 0
+        weld_due = (proc.welding and self.amax is not None
+                    and weld_schedule(step_idx, cfg, self.amax)) or None
+        # (the every-step small-floe cull runs device-side in physics_step)
+        if want_merge:
+            want_merge = bool(np.any(np.asarray(aux.merge_i)))
+
+        if not any([want_merge, want_ridge, want_raft, want_frac,
+                    want_corner, want_simp, want_pack, weld_due]):
+            return state, dissolved
+
+        view = extract_view(state, cfg)
+        edit = StateEdit()
+        boundary_polys = [view.poly(i) for i in range(cfg.n_boundary)
+                          if view.polys[i] is not None]
+
+        # ---- contact-flagged merges (floe_interactions_all.m:470-501) ----
+        if want_merge:
+            self._merges_from_aux(view, aux, edit)
+
+        if want_ridge:
+            edit.merge(self._guarded(view, edit, lambda v: ridge_raft_pass(
+                v, cfg, self.rng, "ridge", self.domain_poly)))
+        if want_raft:
+            edit.merge(self._guarded(view, edit, lambda v: ridge_raft_pass(
+                v, cfg, self.rng, "raft", self.domain_poly)))
+
+        if want_frac:
+            deform = self._deform_info(view, aux)
+            edit.merge(self._guarded(
+                view, edit,
+                lambda v: fracture_pass(v, cfg, self.rng, deform)))
+
+        if want_corner and aux is not None:
+            edit.merge(self._guarded(
+                view, edit, lambda v: self._corners(v, aux)))
+
+        if weld_due:
+            wnx, wny, wmax = weld_due
+            edit.merge(self._guarded(view, edit, lambda v: weld_pass(
+                v, cfg, self.rng, wnx, wny, wmax)))
+
+        if want_simp:
+            edit.merge(self._guarded(
+                view, edit,
+                lambda v: simplify_pass(v, cfg, boundary_polys)))
+
+        if want_pack:
+            edit.merge(self._guarded(view, edit, lambda v: pack_pass(
+                v, cfg, self.rng, self.pack_h0, self.pack_target,
+                self.nx, self.ny)))
+
+        # ---- dissolved-mass bookkeeping ----------------------------------
+        for i in edit.dissolve_kills:
+            dissolved = self._bin_mass(dissolved, view.x[i], view.y[i],
+                                       view.mass[i])
+
+        state = apply_edits(state, edit, cfg,
+                            seed=int(self.rng.integers(2**31)))
+        return state, dissolved
+
+    # ------------------------------------------------------------------
+
+    def _guarded(self, view, edit: StateEdit, fn) -> StateEdit:
+        """Run a pass, masking out slots already touched by earlier edits."""
+        touched = edit.kills | edit.dissolve_kills | set(edit.reshapes)
+        if touched:
+            saved = view.alive.copy()
+            for i in touched:
+                view.alive[i] = False
+            out = fn(view)
+            view.alive = saved
+            return out
+        return fn(view)
+
+    def _merges_from_aux(self, view, aux, edit: StateEdit) -> None:
+        """overlap>0.55 fusion kills: the flagged floe is absorbed into its
+        partner when large enough, else dissolved."""
+        cfg = self.cfg
+        merge_i = np.asarray(aux.merge_i)
+        nbr = np.asarray(aux.nbr_idx)
+        done: set[int] = set()
+        for i, k in zip(*np.nonzero(merge_i)):
+            j = int(nbr[i, k])
+            i = int(i)
+            if i in done or j in done:
+                continue
+            if not (view.alive[i] and view.alive[j]):
+                continue
+            if i < cfg.n_boundary:
+                continue
+            if view.area[i] > cfg.processes.fuse_min_area:
+                sub = fuse_floes(view, j, [i], cfg)
+                edit.merge(sub)
+                done |= {i, j}
+            else:
+                edit.dissolve_kills.add(i)
+                done.add(i)
+
+    def _deform_info(self, view, aux):
+        """Deepest-overlap contact per floe for fracture's plastic clip."""
+        if aux is None:
+            return None
+        ov = np.asarray(aux.pair_overlap)
+        nbr = np.asarray(aux.nbr_idx)
+        fx = np.asarray(aux.pair_fx)
+        fy = np.asarray(aux.pair_fy)
+        info = {}
+        for i in range(view.n):
+            k = int(np.argmax(ov[i]))
+            if ov[i, k] > 0:
+                info[i] = (int(nbr[i, k]), float(fx[i, k]), float(fy[i, k]))
+        return info
+
+    def _corners(self, view, aux) -> StateEdit:
+        """Driver-level corner selection (Subzero.m:339-352): ~30% random
+        floes, skipping heavily-overlapped ones, then the grinding pass."""
+        cfg = self.cfg
+        keep = self.rng.random(view.n) > cfg.processes.corner_keep_prob
+        ov_frac = view.overlap_area / np.maximum(view.area, 1e-12)
+        eligible = keep & (ov_frac < cfg.processes.corner_max_overlap)
+
+        valid = np.asarray(aux.pair_valid)
+        px = np.asarray(aux.pair_px)
+        py = np.asarray(aux.pair_py)
+        nbr = np.asarray(aux.nbr_idx)
+        bnd = np.asarray(aux.boundary_contact)
+
+        contact_points = {}
+        contact_nbrs = {}
+        for i in range(view.n):
+            if not eligible[i]:
+                continue
+            ks = np.nonzero(valid[i])[0]
+            if len(ks):
+                contact_points[i] = np.stack(
+                    [px[i, ks], py[i, ks]], axis=1)
+                contact_nbrs[i] = [int(j) for j in nbr[i, ks]]
+        touching = bnd & eligible
+        sub_view_alive = view.alive & eligible
+        saved = view.alive
+        view.alive = sub_view_alive
+        out = corners_pass(view, cfg, self.rng, contact_points,
+                           contact_nbrs, touching, self.domain_poly)
+        view.alive = saved
+        return out
+
+    def _bin_mass(self, dissolved: np.ndarray, x: float, y: float,
+                  mass: float) -> np.ndarray:
+        ny, nx = dissolved.shape
+        lx, ly = self.cfg.domain.lx, self.cfg.domain.ly
+        ix = int(np.clip((x + lx) / (2 * lx / nx), 0, nx - 1))
+        iy = int(np.clip((ly - y) / (2 * ly / ny), 0, ny - 1))
+        dissolved = dissolved.copy()
+        dissolved[iy, ix] += mass
+        return dissolved

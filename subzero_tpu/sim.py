@@ -41,11 +41,33 @@ class Simulation:
     ny_coarse: int = 10
     step_idx: int = 0
     dissolved: np.ndarray | None = None
+    seed: int = 0
+    pack_target: float = 1.0
 
     def __post_init__(self):
         if self.dissolved is None:
             self.dissolved = np.zeros((self.ny_coarse, self.nx_coarse))
         self._domain = domain_polygon(self.cfg)
+        # lifecycle orchestrator (host-side topology surgery)
+        from .forcing import thermo_params
+        from .processes.lifecycle import Lifecycle
+
+        _, pack_h0 = thermo_params(
+            self.cfg.numerics.dt, self.cfg.processes.n_pack,
+            k=self.cfg.physics.k_thermal, t_air=self.cfg.physics.t_air,
+            t_ocean=self.cfg.physics.t_ocean,
+            rho_ice=self.cfg.physics.rho_ice,
+            latent=self.cfg.physics.latent_heat,
+        )
+        areas = np.asarray(self.state.area)[np.asarray(self.state.alive)]
+        amax = float(areas.max()) if len(areas) else None
+        self.lifecycle = Lifecycle(
+            self.cfg, np.asarray(domain_polygon(self.cfg), np.float64)[:4],
+            seed=self.seed + 1, amax=amax,
+            pack_h0=pack_h0 if self.heat_flux < 0 else 0.0,
+            pack_target=self.pack_target,
+            nx=self.nx_coarse, ny=self.ny_coarse,
+        )
         cfg = self.cfg
         modulus = self.modulus
         heat_flux = self.heat_flux
@@ -84,7 +106,9 @@ class Simulation:
             )
             return state, dissolved, auxes
 
-        self._chunk = 10
+        # chunk = gcd of all process cadences (10, 20, 25, 75, 150, 500...)
+        # so every cadence boundary lands on a chunk boundary
+        self._chunk = 5
         self._chunk_fn = chunk_fn
 
     # -- main loop ---------------------------------------------------------
@@ -104,6 +128,13 @@ class Simulation:
             )
             self.step_idx += n
             done += n
+            # host-side lifecycle at the chunk boundary
+            aux_last = jax.tree_util.tree_map(lambda a: a[n - 1], auxes)
+            dis_np = np.asarray(dissolved)
+            self.state, dis_np = self.lifecycle.step(
+                self.state, aux_last, self.step_idx, dis_np
+            )
+            dissolved = jnp.asarray(dis_np, self.state.x.dtype)
             if on_chunk is not None:
                 on_chunk(self, auxes)
             if log_every and (self.step_idx % log_every == 0):
@@ -174,6 +205,7 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
     n = state.n
     k = cfg.capacity.max_neighbors
     dt = state.x.dtype
+    zk = jnp.zeros((n, k), dt)
     return StepAux(
         n_collisions=jnp.zeros((), jnp.int32),
         merge_i=jnp.zeros((n, k), bool),
@@ -184,6 +216,10 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         overlap_area=jnp.zeros((n,), dt),
         collision_force=jnp.zeros((n, 2), dt),
         collision_torque=jnp.zeros((n,), dt),
+        nbr_idx=jnp.zeros((n, k), jnp.int32),
+        pair_valid=jnp.zeros((n, k), bool),
+        pair_px=zk, pair_py=zk, pair_fx=zk, pair_fy=zk, pair_overlap=zk,
+        boundary_contact=jnp.zeros((n,), bool),
     )
 
 

@@ -161,7 +161,7 @@ def make_floe_arrays(
     v = cfg.capacity.max_verts
     p = cfg.capacity.n_mc_points
     rng = np.random.default_rng(seed)
-    heights = np.broadcast_to(np.asarray(heights, np.float64), (n,))
+    heights = np.broadcast_to(np.asarray(heights, np.float64), (n,)).copy()
 
     verts = np.zeros((n, v, 2))
     nv = np.zeros((n,), np.int32)
