@@ -28,6 +28,9 @@ class PhysicsConfig:
     (Coriolis, Ekman turn angle).
     """
 
+    # When False, ocean/atmosphere stresses are never computed (the uniaxial
+    # validation case's "doInt.flag = false" edit, README.md Validation 1h).
+    ocean_coupling: bool = True
     rho_ice: float = 920.0          # kg/m^3
     rho_ocean: float = 1027.0       # kg/m^3
     rho_air: float = 1.2            # kg/m^3
@@ -121,6 +124,7 @@ class ProcessConfig:
     fracture_n_pieces: int = 3              # fracture.m:51 -> 3 Voronoi pieces
     fracture_sig_c: float = 250e3           # Mohr-Coulomb SigC (fracture.m:21-28)
     fracture_q: float = 5.2                 # Mohr-Coulomb slope q
+    fracture_sig11: float = -3.375e4        # cone vertex (uniaxial: +1.5e5)
     simplify_max_verts: int = 30            # Subzero.m:185
     fuse_min_area: float = 2e4              # kill/transfer fuse gate (f_i_all.m:477)
 

@@ -117,10 +117,13 @@ def physics_step(
         # Rectangular-wall force-component zeroing
         # (floe_interactions_all.m:157-166): contact points on the x-walls
         # push only in x, on the y-walls only in y.  Tolerance-based (the
-        # reference compares floats with ==).
-        eps = 1e-6 * cfg.domain.lx
-        on_y_wall = jnp.abs(jnp.abs(bc.py) - cfg.domain.ly) < eps
-        on_x_wall = jnp.abs(jnp.abs(bc.px) - cfg.domain.lx) < eps
+        # reference compares floats with ==).  Wall positions derive from
+        # the (possibly moving) domain polygon, not the static config.
+        lx_dyn = jnp.max(jnp.abs(domain_verts[:, 0]))
+        ly_dyn = jnp.max(jnp.abs(domain_verts[:, 1]))
+        eps = 1e-6 * lx_dyn
+        on_y_wall = jnp.abs(jnp.abs(bc.py) - ly_dyn) < eps
+        on_x_wall = jnp.abs(jnp.abs(bc.px) - lx_dyn) < eps
         b_fx = jnp.where(on_y_wall & ~on_x_wall, 0.0, bc.fx)
         b_fy = jnp.where(on_x_wall & ~on_y_wall, 0.0, bc.fy)
         bc = bc._replace(fx=b_fx, fy=b_fy)
@@ -192,7 +195,7 @@ def physics_step(
     n_collisions = (
         jnp.sum(f_valid.astype(jnp.int32)) // 2
         + jnp.sum(b_valid.astype(jnp.int32))
-    )
+    ).astype(jnp.int32)
 
     aux = StepAux(
         n_collisions=n_collisions,
@@ -204,7 +207,7 @@ def physics_step(
         overlap_area=overlap_total,
         collision_force=jnp.stack([cf_x, cf_y], axis=-1),
         collision_torque=cf_t,
-        nbr_idx=nbr.idx,
+        nbr_idx=nbr.idx.astype(jnp.int32),
         pair_valid=f_valid,
         pair_px=pc.px,
         pair_py=pc.py,

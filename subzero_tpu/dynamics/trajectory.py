@@ -187,11 +187,17 @@ def trajectory_update(
     ) | (jnp.arange(st.n) < n_b)
 
     # --- ocean forcing cache (calc_trajectory.m:94,121-166) ---------------
-    fresh = ocean_forcing(st, forcing, cfg)
-    refresh = do_int | (st.h < 0.1)
-    fx_oa = jnp.where(refresh, fresh[0], st.fx_oa)
-    fy_oa = jnp.where(refresh, fresh[1], st.fy_oa)
-    tq_oa = jnp.where(refresh, fresh[2], st.tq_oa)
+    if cfg.physics.ocean_coupling:
+        fresh = ocean_forcing(st, forcing, cfg)
+        refresh = do_int | (st.h < 0.1)
+        fx_oa = jnp.where(refresh, fresh[0], st.fx_oa)
+        fy_oa = jnp.where(refresh, fresh[1], st.fy_oa)
+        tq_oa = jnp.where(refresh, fresh[2], st.tq_oa)
+    else:
+        # uniaxial case: all motion boundary-driven (README.md 1h)
+        fx_oa = jnp.zeros_like(st.fx_oa)
+        fy_oa = jnp.zeros_like(st.fy_oa)
+        tq_oa = jnp.zeros_like(st.tq_oa)
 
     # --- AB2 position update with OLD velocity (calc_trajectory.m:174-177) -
     x_new = st.x + 1.5 * dt * st.u - 0.5 * dt * st.dx_p

@@ -33,7 +33,7 @@ def mohr_cone_vertices(cfg: SimConfig) -> np.ndarray:
     sig_c = cfg.processes.fracture_sig_c
     sig1 = (1 / q + 1) * sig_c / (1 / q - q)
     sig2 = q * sig1 + sig_c
-    sig11 = -3.375e4
+    sig11 = cfg.processes.fracture_sig11
     sig22 = q * sig11 + sig_c
     mohr_x = -np.array([sig1, sig11, sig22])
     mohr_y = -np.array([sig2, sig22, sig11])

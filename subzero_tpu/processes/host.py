@@ -123,6 +123,26 @@ class StateEdit:
                 and not self.reshapes)
 
 
+def _cap_vertices(poly: np.ndarray, v_max: int) -> np.ndarray:
+    """Drop shortest-edge vertices down to the cap, rescaling about the
+    centroid to conserve area (FloeSimplify.m:40,56 behavior)."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) <= v_max:
+        return poly
+    from .. import hostgeom as hg
+
+    a0 = abs(hg.area(poly))
+    while len(poly) > v_max:
+        e = poly - np.roll(poly, 1, axis=0)
+        k = int(np.argmin(np.sum(e * e, axis=1)))
+        poly = np.delete(poly, k, axis=0)
+    a1 = abs(hg.area(poly))
+    if a1 > 0:
+        c = hg.centroid(poly)
+        poly = c + np.sqrt(a0 / a1) * (poly - c)
+    return poly
+
+
 def _free_slots(alive: np.ndarray, kills: set[int], n_needed: int,
                 n_boundary: int) -> list[int]:
     free = [i for i in range(len(alive))
@@ -195,8 +215,12 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         heights = np.array([
             f.h if f.mass is None else 1.0 for f in floes
         ])
-        arrs = make_floe_arrays([f.poly for f in floes], heights, cfg,
-                                seed=seed)
+        # Polygon surgery (unions/differences) can exceed the vertex
+        # capacity; reduce to the cap conserving area (the reference relies
+        # on unlimited polyshape vertices + periodic FloeSimplify instead).
+        polys = [_cap_vertices(f.poly, cfg.capacity.max_verts)
+                 for f in floes]
+        arrs = make_floe_arrays(polys, heights, cfg, seed=seed)
         if any(f.mass is not None for f in floes):
             for k, f in enumerate(floes):
                 if f.mass is not None:

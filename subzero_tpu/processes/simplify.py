@@ -53,7 +53,7 @@ def simplify_floe(view: HostView, i: int, cfg: SimConfig,
                   boundary_polys: list[np.ndarray],
                   edit: StateEdit) -> None:
     poly = view.poly(i)
-    span = max(poly[:, 0].ptp(), poly[:, 1].ptp())
+    span = max(np.ptp(poly[:, 0]), np.ptp(poly[:, 1]))
     simplified = douglas_peucker(poly, 0.001 * span)
 
     pieces = [simplified]

@@ -43,6 +43,8 @@ class Simulation:
     dissolved: np.ndarray | None = None
     seed: int = 0
     pack_target: float = 1.0
+    # moving walls (uniaxial case): step_idx -> (lx, ly) of the domain box
+    wall_fn: "Callable[[int], tuple[float, float]] | None" = None
 
     def __post_init__(self):
         if self.dissolved is None:
@@ -76,7 +78,7 @@ class Simulation:
 
         @jax.jit
         def chunk_fn(state: FloeState, start: jnp.ndarray, n: jnp.ndarray,
-                     dissolved: jnp.ndarray):
+                     dissolved: jnp.ndarray, domain_verts: jnp.ndarray):
             """Run ``n`` physics steps (bounded by static chunk size)."""
 
             def body(carry, i):
@@ -86,8 +88,8 @@ class Simulation:
                 def do(args):
                     st, dis = args
                     st2, aux = physics_step(
-                        st, self.forcing, idx, domain, modulus, heat_flux,
-                        cfg,
+                        st, self.forcing, idx, domain_verts, modulus,
+                        heat_flux, cfg,
                     )
                     dis2 = dis + dissolved_mass_grid(st, aux.killed, cfg,
                                                      nx, ny)
@@ -122,9 +124,16 @@ class Simulation:
         dissolved = jnp.asarray(self.dissolved, self.state.x.dtype)
         while done < n_steps:
             n = min(self._chunk, n_steps - done)
+            if self.wall_fn is not None:
+                # moving walls (uniaxial case): rebuild the domain polygon
+                lx, ly = self.wall_fn(self.step_idx)
+                dom_np = np.array([[-lx, -ly], [lx, -ly], [lx, ly], [-lx, ly]])
+                pad, _ = _pad_domain(dom_np)
+                self._domain = jnp.asarray(pad, self.state.x.dtype)
+                self.lifecycle.domain_poly = dom_np
             self.state, dissolved, auxes = self._chunk_fn(
                 self.state, jnp.asarray(self.step_idx), jnp.asarray(n),
-                dissolved,
+                dissolved, self._domain,
             )
             self.step_idx += n
             done += n
@@ -199,6 +208,12 @@ class Simulation:
             step_idx=meta["step_idx"],
             dissolved=np.load(path / "dissolved.npy"),
         )
+
+
+def _pad_domain(rect: np.ndarray, v_cap: int = 8):
+    from .geometry.polygon import pad_polygon
+
+    return pad_polygon(rect, v_cap)
 
 
 def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:

@@ -1,0 +1,199 @@
+"""Validation-case configurations (README.md "Validation Cases" +
+``validation_cases/`` recipes).
+
+Three cases mirror the reference's published experiments:
+
+* ``uniaxial_sim``  — 200 floes, fully packed, N/S walls closing at
+  0.1 m/s (15 m every 30 steps at dt=5 s), no ocean/atm coupling,
+  Mohr-Coulomb fracture every 200 steps with Sig11 = +1.5e5
+  (README.md Validation 1).
+* ``nares_sim``     — wind-driven export through a strait between static
+  topography floes, 10 m/s southward wind, stagnant ocean, collisions +
+  fractures every 150 steps (README.md Validation 2).  The reference's
+  coastline polygons (Nares_Strait_segments.mat) are not shipped in this
+  checkout (missing large blob), so an idealized funnel-and-channel
+  coastline with the same domain proportions is synthesized.
+* ``winter_sim``    — all processes on (welding, ridging, rafting,
+  fracture, corners, packing) in freezing conditions, 100 floes
+  (validation_cases/winter.tar.gz per SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import (
+    CapacityConfig, DomainConfig, NumericsConfig, PhysicsConfig,
+    ProcessConfig, SimConfig,
+)
+from .forcing import gyre_ocean, thermo_params, uniform_forcing
+from .init import default_modulus, voronoi_floe_field
+from .sim import Simulation
+from .state import state_from_polygons
+
+
+def uniaxial_sim(n_floes: int = 200, seed: int = 0,
+                 modulus_coeff: float = 2.5e3) -> Simulation:
+    """Uniaxial compression (README.md Validation 1)."""
+    cfg = SimConfig(
+        physics=PhysicsConfig(ocean_coupling=False),
+        processes=ProcessConfig(
+            collision=True, fractures=True, corners=False,
+            n_fracture=200, fracture_sig11=1.5e5,
+        ),
+        numerics=NumericsConfig(dt=5.0),
+        domain=DomainConfig(lx=1e5, ly=1e5),
+        capacity=CapacityConfig(
+            max_floes=4 * n_floes, max_verts=32, max_neighbors=12,
+            n_mc_points=400, stress_window=1000,
+        ),
+    )
+    polys, heights = voronoi_floe_field(
+        cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0, seed=seed)
+    st = state_from_polygons(polys, heights, cfg, seed=seed)
+    areas = np.asarray(st.area)[: len(polys)]
+    r = np.sqrt(areas)
+    modulus = float(modulus_coeff * (r.mean() + r.min()))
+    cfg = cfg.replace(
+        min_floe_size=4 * cfg.domain.lx * cfg.domain.ly / 20000.0)
+
+    def wall_fn(step_idx: int):
+        # yb -= 15 every 30 steps until Ly <= 85 km (README.md 1j)
+        ly = max(1e5 - 15.0 * (step_idx // 30), 85000.0)
+        return 1e5, ly
+
+    return Simulation(
+        cfg=cfg, state=st,
+        forcing=uniform_forcing(lx=4e5),
+        modulus=modulus, heat_flux=0.0, wall_fn=wall_fn, seed=seed,
+    )
+
+
+def nares_topography(lx: float, ly: float, channel_half_width: float = 2e4,
+                     channel_top: float = 0.0, channel_bot: float = -1.5e5):
+    """Idealized Nares coastline: two mirror-image land masses forming a
+    funnel (north) into a straight channel, opening to the south basin."""
+    w = channel_half_width
+    west = np.array([
+        [-lx, channel_bot],
+        [-w, channel_bot],
+        [-w, channel_top],
+        [-lx * 0.85, channel_top + 1.1e5],
+        [-lx, channel_top + 1.2e5],
+    ])
+    east = west.copy()
+    east[:, 0] = -east[:, 0]
+    east = east[::-1]
+    return [west, east]
+
+
+def nares_sim(n_floes: int = 150, seed: int = 0,
+              islands: bool = False) -> Simulation:
+    """Nares Strait export (README.md Validation 2).
+
+    The reference domain is x in +-50 km-ish, y in [-250, 500] km; the frame
+    here is shifted to a symmetric box y in +-375 km (identical physics,
+    the solver assumes a symmetric domain).  Floes initialize only in the
+    northern basin (target concentration [1; 0], README 1d).
+    """
+    lx, ly = 1e5, 3.75e5
+    shift = 1.25e5  # reference y=0 sits at -shift in our frame
+    cfg = SimConfig(
+        processes=ProcessConfig(
+            collision=True, fractures=True, corners=False, n_fracture=150,
+        ),
+        numerics=NumericsConfig(dt=10.0),
+        domain=DomainConfig(lx=lx, ly=ly),
+        capacity=CapacityConfig(
+            max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
+            n_mc_points=400, stress_window=1000,
+        ),
+    )
+    topo = nares_topography(lx, ly, channel_top=0.0 + shift,
+                            channel_bot=-1.5e5 + shift)
+    if islands:
+        topo.append(np.array([
+            [-1e4, shift - 3e4], [1e4, shift - 3.5e4],
+            [1.2e4, shift - 1e4], [-8e3, shift - 0.8e4],
+        ]))
+
+    # floes fill the basin north of the funnel: generate in a symmetric box
+    # of half-height ly_b, then translate its center up to the basin center
+    funnel_top = shift + 1.2e5
+    ly_b = (ly - funnel_top) / 2
+    basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly_b))
+    polys, heights = voronoi_floe_field(
+        basin_cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0,
+        seed=seed)
+    basin_center_y = funnel_top + ly_b
+    polys = [p + np.array([0.0, basin_center_y]) for p in polys]
+    polys = [p for p in polys if np.all(np.abs(p[:, 1]) < ly)]
+    heights = heights[: len(polys)]
+
+    all_polys = topo + polys
+    heights_all = np.concatenate([np.ones(len(topo)), heights[: len(polys)]])
+    cfg = cfg.replace(
+        n_boundary=len(topo),
+        min_floe_size=4 * lx * ly / 20000.0,
+    )
+    st = state_from_polygons(all_polys, heights_all, cfg, seed=seed)
+    areas = np.asarray(st.area)[len(topo): len(all_polys)]
+    modulus = default_modulus(areas)
+
+    # stagnant ocean on a 2e6-wide grid (README 2), southward 10 m/s wind
+    forcing = uniform_forcing(lx=2e6, dx=2e4, va=-10.0)
+    return Simulation(cfg=cfg, state=st, forcing=forcing, modulus=modulus,
+                      seed=seed)
+
+
+def winter_sim(n_floes: int = 100, seed: int = 0) -> Simulation:
+    """Winter equilibration: all processes on, freezing ocean
+    (winter.tar.gz configuration per SURVEY.md section 6)."""
+    cfg = SimConfig(
+        processes=ProcessConfig(
+            collision=True, fractures=True, corners=True, welding=True,
+            ridging=True, rafting=True, packing=True, keep_min=False,
+            n_pack=5500,
+        ),
+        numerics=NumericsConfig(dt=10.0),
+        domain=DomainConfig(lx=1e5, ly=1e5),
+        capacity=CapacityConfig(
+            max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
+            n_mc_points=400, stress_window=1000,
+        ),
+    )
+    polys, heights = voronoi_floe_field(
+        cfg, 1.0, n_floes, height_mean=0.25, height_delta=0.0, seed=seed)
+    st = state_from_polygons(polys, heights, cfg, seed=seed)
+    areas = np.asarray(st.area)[: len(polys)]
+    modulus = default_modulus(areas)
+    heat_flux, _ = thermo_params(cfg.numerics.dt, cfg.processes.n_pack)
+    cfg = cfg.replace(
+        min_floe_size=4 * cfg.domain.lx * cfg.domain.ly / 20000.0,
+        heat_flux=heat_flux,
+    )
+    return Simulation(cfg=cfg, state=st, forcing=gyre_ocean(),
+                      modulus=modulus, heat_flux=heat_flux, seed=seed)
+
+
+def floe_size_distribution(state, n_bins: int = 20):
+    """FSD histogram of live floe areas (winter-case diagnostic)."""
+    alive = np.asarray(state.alive)
+    areas = np.asarray(state.area)[alive]
+    if len(areas) == 0:
+        return np.zeros(n_bins), np.zeros(n_bins + 1)
+    edges = np.logspace(np.log10(max(areas.min(), 1.0)),
+                        np.log10(areas.max() + 1.0), n_bins + 1)
+    hist, _ = np.histogram(areas, bins=edges)
+    return hist, edges
+
+
+def ice_thickness_distribution(state, n_bins: int = 20):
+    """ITD histogram (winter-case diagnostic)."""
+    alive = np.asarray(state.alive)
+    h = np.asarray(state.h)[alive]
+    if len(h) == 0:
+        return np.zeros(n_bins), np.zeros(n_bins + 1)
+    edges = np.linspace(0.0, max(h.max() * 1.05, 1.0), n_bins + 1)
+    hist, _ = np.histogram(h, bins=edges)
+    return hist, edges
