@@ -137,6 +137,7 @@ class CapacityConfig:
     max_floes: int = 256            # Nmax: floe slots (alive mask selects real ones)
     max_verts: int = 32             # Vmax: vertex slots per floe
     max_neighbors: int = 16         # K: candidate contacts per floe (broad phase)
+    max_ghosts: int = 64            # per-direction halo-exchange buffer (spatial)
     n_mc_points: int = 1000         # Monte-Carlo samples per floe (initialize_floe_values.m:30)
     stress_window: int = 1000       # stress-history ring buffer length (:24)
 

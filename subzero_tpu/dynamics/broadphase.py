@@ -47,6 +47,7 @@ def neighbor_candidates(
     periodic: bool,
     lx: float,
     ly: float,
+    src: tuple | None = None,
 ) -> NeighborTable:
     """Bounding-circle broad phase -> top-K neighbor table.
 
@@ -54,10 +55,20 @@ def neighbor_candidates(
     symmetric: j in nbrs(i) iff i in nbrs(j), so the narrow phase computes
     each pair twice (once per endpoint) and no scatter/symmetrization pass is
     needed.
+
+    ``src``: optional (x_s, y_s, r_s, alive_s, n_self) candidate-source
+    arrays for the spatial-decomposition path, where the query set occupies
+    the first ``n_self`` source slots (self-pairs are excluded there).
+    Returned indices then refer to the source arrays.
     """
     n = x.shape[0]
-    dx = x[:, None] - x[None, :]
-    dy = y[:, None] - y[None, :]
+    if src is None:
+        x_s, y_s, r_s, alive_s, n_self = x, y, rmax, alive, n
+    else:
+        x_s, y_s, r_s, alive_s, n_self = src
+    m = x_s.shape[0]
+    dx = x[:, None] - x_s[None, :]
+    dy = y[:, None] - y_s[None, :]
     if periodic:
         # Minimum image on the [-lx,lx] x [-ly,ly] torus (period 2L).
         sx = -2.0 * lx * jnp.round(dx / (2.0 * lx))
@@ -69,9 +80,12 @@ def neighbor_candidates(
         sy = jnp.zeros_like(dy)
 
     r2 = dx * dx + dy * dy
-    rsum = rmax[:, None] + rmax[None, :]
-    ok = (r2 < rsum * rsum) & alive[:, None] & alive[None, :]
-    ok = ok & ~jnp.eye(n, dtype=bool)
+    rsum = rmax[:, None] + r_s[None, :]
+    ok = (r2 < rsum * rsum) & alive[:, None] & alive_s[None, :]
+    self_pair = (
+        jnp.arange(n)[:, None] == jnp.arange(m)[None, :]
+    ) & (jnp.arange(m)[None, :] < n_self)
+    ok = ok & ~self_pair
 
     # Top-K by a key that puts valid candidates first (closest first).
     key = jnp.where(ok, -r2, -jnp.inf)

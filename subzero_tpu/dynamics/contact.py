@@ -144,25 +144,36 @@ def contact_forces(
     nbr: NeighborTable,
     modulus: float,
     cfg: SimConfig,
+    src: tuple | None = None,     # optional candidate-source arrays
 ) -> PairContacts:
     """Contact forces for every (floe, candidate) in the neighbor table.
 
     Each unordered pair appears twice (once per endpoint); antisymmetry of the
     chord guarantees Newton's third law without a symmetrization pass.
+
+    ``src``: (verts_world_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s) when
+    the neighbor table indexes a different candidate set (spatial
+    decomposition: local + ghost floes).
     """
     dtype = x.dtype
     n, k = nbr.idx.shape
     phys = cfg.physics
     dt = cfg.numerics.dt
+    if src is None:
+        verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = (
+            verts_world, x, y, u, v, ksi, h, area)
+    else:
+        verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = src
 
-    vj = verts_world[nbr.idx] + nbr.shift[:, :, None, :]  # [N, K, V, 2]
+    vj = verts_s[nbr.idx] + nbr.shift[:, :, None, :]      # [N, K, V, 2]
     vi = jnp.broadcast_to(verts_world[:, None], vj.shape)
 
     r = jnp.sqrt(area)
+    r_src = jnp.sqrt(area_s)
     h_i = jnp.broadcast_to(h[:, None], (n, k))
-    h_j = h[nbr.idx]
+    h_j = h_s[nbr.idx]
     r_i = jnp.broadcast_to(r[:, None], (n, k))
-    r_j = r[nbr.idx]
+    r_j = r_src[nbr.idx]
     # Force_factor (floe_interactions.m:12); giant-floe special case (:15-18).
     ff = modulus * h_i * h_j / (h_i * r_j + h_j * r_i)
     giant = (r_i > 1e5) | (r_j > 1e5)
@@ -182,10 +193,10 @@ def contact_forces(
     fx, fy, px, py, overlap, merge_i, merge_j = pair(
         vi, vj,
         u, v, ksi, x, y,
-        u[nbr.idx], v[nbr.idx], ksi[nbr.idx],
-        x[nbr.idx] + nbr.shift[..., 0], y[nbr.idx] + nbr.shift[..., 1],
+        u_s[nbr.idx], v_s[nbr.idx], ksi_s[nbr.idx],
+        x_s[nbr.idx] + nbr.shift[..., 0], y_s[nbr.idx] + nbr.shift[..., 1],
         ff,
-        area, area[nbr.idx],
+        area, area_s[nbr.idx],
         shear_g, phys.mu_friction, dt,
         cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
         dtype,
