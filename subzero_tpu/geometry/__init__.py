@@ -12,6 +12,8 @@ from .polygon import (
     poly_rmax,
 )
 from .clip import OverlapStats, difference_stats, intersection_area, overlap_stats
+from .clip_batched import difference_stats_bm, overlap_stats_bm
+from .measures import cut_polygon, point_poly_dist, segment_intersections
 
 __all__ = [
     "apply_padding",
@@ -27,6 +29,11 @@ __all__ = [
     "poly_rmax",
     "OverlapStats",
     "difference_stats",
+    "difference_stats_bm",
+    "overlap_stats_bm",
+    "cut_polygon",
+    "point_poly_dist",
+    "segment_intersections",
     "intersection_area",
     "overlap_stats",
 ]
