@@ -138,6 +138,7 @@ class CapacityConfig:
     max_verts: int = 32             # Vmax: vertex slots per floe
     max_neighbors: int = 16         # K: candidate contacts per floe (broad phase)
     max_ghosts: int = 64            # per-direction halo-exchange buffer (spatial)
+    max_per_cell: int = 16          # cell-list broad-phase occupancy cap
     n_mc_points: int = 1000         # Monte-Carlo samples per floe (initialize_floe_values.m:30)
     stress_window: int = 1000       # stress-history ring buffer length (:24)
 
@@ -148,6 +149,8 @@ class NumericsConfig:
     dtype: str = "float32"          # compute dtype on device
     # Broad-phase implementation: "n2" (all-pairs) or "cells" (cell list)
     broadphase: str = "n2"
+    # Cell size for the cell-list broad phase; must be >= 2*max(rmax).
+    cell_size: float = 0.0
     # Contact geometry implementation: "xla" or "pallas"
     contact_impl: str = "xla"
 

@@ -106,3 +106,94 @@ def neighbor_candidates(
     shift = -shift
     idx = jnp.where(valid, idx, jnp.arange(n)[:, None])
     return NeighborTable(idx=idx, valid=valid, shift=shift, overflow=overflow)
+
+
+def neighbor_candidates_cells(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rmax: jnp.ndarray,
+    alive: jnp.ndarray,
+    k_max: int,
+    periodic: bool,
+    lx: float,
+    ly: float,
+    cell_size: float,
+    cell_cap: int,
+) -> NeighborTable:
+    """Cell-list broad phase: O(N * 9 * cell_cap) instead of O(N^2).
+
+    Same output contract as ``neighbor_candidates`` (SURVEY.md section 7,
+    design delta #5).  ``cell_size`` must be >= 2 * max(rmax) so all
+    bounding-circle candidates lie in the 3x3 cell neighborhood;
+    ``cell_cap`` bounds floes per cell (overflow reported).
+    """
+    n = x.shape[0]
+    # integer cell grid covering [-lx, lx] x [-ly, ly]
+    ncx = max(int(2 * lx / cell_size), 1)
+    ncy = max(int(2 * ly / cell_size), 1)
+    csx = 2 * lx / ncx
+    csy = 2 * ly / ncy
+    ix = jnp.clip(((x + lx) / csx).astype(jnp.int32), 0, ncx - 1)
+    iy = jnp.clip(((y + ly) / csy).astype(jnp.int32), 0, ncy - 1)
+    cid = iy * ncx + ix
+    # dead floes go to a sentinel cell
+    cid = jnp.where(alive, cid, ncx * ncy)
+
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+
+    # per-cell occupancy overflow check
+    counts = jnp.zeros((ncx * ncy + 1,), jnp.int32).at[cid].add(1)
+    overflow_cells = jnp.any(counts[:-1] > cell_cap)
+
+    # 3x3 neighborhood (wrapped when periodic, clamped otherwise)
+    offs = jnp.array([(dx_, dy_) for dy_ in (-1, 0, 1) for dx_ in (-1, 0, 1)],
+                     dtype=jnp.int32)                       # [9, 2]
+    nx_ = ix[:, None] + offs[None, :, 0]                    # [N, 9]
+    ny_ = iy[:, None] + offs[None, :, 1]
+    if periodic:
+        nx_ = jnp.mod(nx_, ncx)
+        ny_ = jnp.mod(ny_, ncy)
+        cell_ok = jnp.ones_like(nx_, dtype=bool)
+    else:
+        cell_ok = (nx_ >= 0) & (nx_ < ncx) & (ny_ >= 0) & (ny_ < ncy)
+        nx_ = jnp.clip(nx_, 0, ncx - 1)
+        ny_ = jnp.clip(ny_, 0, ncy - 1)
+    ncell = ny_ * ncx + nx_                                 # [N, 9]
+
+    start = jnp.searchsorted(cid_sorted, ncell.reshape(-1))  # [N*9]
+    slots = start[:, None] + jnp.arange(cell_cap)[None, :]   # [N*9, cap]
+    slots = jnp.clip(slots, 0, n - 1)
+    slot_cid = cid_sorted[slots]
+    cand = order[slots].reshape(n, 9 * cell_cap)
+    cand_ok = (slot_cid == ncell.reshape(-1)[:, None]).reshape(
+        n, 9 * cell_cap) & cell_ok[:, :, None].repeat(cell_cap, 2).reshape(
+        n, 9 * cell_cap)
+
+    # circle test on the gathered candidates
+    dx = x[:, None] - x[cand]
+    dy = y[:, None] - y[cand]
+    if periodic:
+        sx = -2.0 * lx * jnp.round(dx / (2.0 * lx))
+        sy = -2.0 * ly * jnp.round(dy / (2.0 * ly))
+        dx = dx + sx
+        dy = dy + sy
+    else:
+        sx = jnp.zeros_like(dx)
+        sy = jnp.zeros_like(dy)
+    r2 = dx * dx + dy * dy
+    rsum = rmax[:, None] + rmax[cand]
+    ok = (cand_ok & (r2 < rsum * rsum) & alive[:, None] & alive[cand]
+          & (cand != jnp.arange(n)[:, None]))
+
+    key = jnp.where(ok, -r2, -jnp.inf)
+    _, kidx = jax.lax.top_k(key, k_max)                     # [N, K]
+    valid = jnp.take_along_axis(ok, kidx, axis=1)
+    overflow = overflow_cells | jnp.any(jnp.sum(ok, axis=1) > k_max)
+    idx = jnp.take_along_axis(cand, kidx, axis=1)
+    shift = jnp.stack([
+        -jnp.take_along_axis(sx, kidx, axis=1),
+        -jnp.take_along_axis(sy, kidx, axis=1),
+    ], axis=-1)
+    idx = jnp.where(valid, idx, jnp.arange(n)[:, None])
+    return NeighborTable(idx=idx, valid=valid, shift=shift, overflow=overflow)

@@ -88,11 +88,26 @@ def physics_step(
     verts_world = state.verts_world()
 
     # ---- broad phase ------------------------------------------------------
-    nbr = neighbor_candidates(
-        state.x, state.y, state.rmax, state.alive,
-        cfg.capacity.max_neighbors, periodic,
-        cfg.domain.lx, cfg.domain.ly,
+    use_cells = (
+        cfg.numerics.broadphase == "cells" and cfg.numerics.cell_size > 0
+        and int(2 * cfg.domain.lx / cfg.numerics.cell_size) >= 3
+        and int(2 * cfg.domain.ly / cfg.numerics.cell_size) >= 3
     )
+    if use_cells:
+        from .broadphase import neighbor_candidates_cells
+
+        nbr = neighbor_candidates_cells(
+            state.x, state.y, state.rmax, state.alive,
+            cfg.capacity.max_neighbors, periodic,
+            cfg.domain.lx, cfg.domain.ly,
+            cfg.numerics.cell_size, cfg.capacity.max_per_cell,
+        )
+    else:
+        nbr = neighbor_candidates(
+            state.x, state.y, state.rmax, state.alive,
+            cfg.capacity.max_neighbors, periodic,
+            cfg.domain.lx, cfg.domain.ly,
+        )
 
     # ---- narrow phase: floe-floe ------------------------------------------
     if proc.collision:

@@ -54,8 +54,10 @@ class Lifecycle:
     # ------------------------------------------------------------------
 
     def step(self, state: FloeState, aux, step_idx: int,
-             dissolved: np.ndarray) -> tuple[FloeState, np.ndarray]:
-        """Fire all due processes; returns (new_state, dissolved_grid)."""
+             dissolved: np.ndarray
+             ) -> tuple[FloeState, np.ndarray, bool]:
+        """Fire all due processes; returns (new_state, dissolved_grid,
+        changed)."""
         cfg = self.cfg
         proc = cfg.processes
         due = lambda k: k > 0 and step_idx % k == 0  # noqa: E731
@@ -75,7 +77,7 @@ class Lifecycle:
 
         if not any([want_merge, want_ridge, want_raft, want_frac,
                     want_corner, want_simp, want_pack, weld_due]):
-            return state, dissolved
+            return state, dissolved, False
 
         view = extract_view(state, cfg)
         edit = StateEdit()
@@ -123,9 +125,10 @@ class Lifecycle:
             dissolved = self._bin_mass(dissolved, view.x[i], view.y[i],
                                        view.mass[i])
 
+        changed = not edit.empty
         state = apply_edits(state, edit, cfg,
                             seed=int(self.rng.integers(2**31)))
-        return state, dissolved
+        return state, dissolved, changed
 
     # ------------------------------------------------------------------
 

@@ -45,6 +45,9 @@ class Simulation:
     pack_target: float = 1.0
     # moving walls (uniaxial case): step_idx -> (lx, ly) of the domain box
     wall_fn: "Callable[[int], tuple[float, float]] | None" = None
+    # multi-device: a jax.sharding.Mesh with axis "shards" switches the
+    # inner loop to the spatial-decomposition step (parallel/spatial.py)
+    mesh: "object | None" = None
 
     def __post_init__(self):
         if self.dissolved is None:
@@ -76,6 +79,18 @@ class Simulation:
         domain = self._domain
         nx, ny = self.nx_coarse, self.ny_coarse
 
+        if self.mesh is not None:
+            from .parallel import make_spatial_step, rebalance_slabs, shard_state
+
+            assert self.wall_fn is None, \
+                "moving walls are not supported with spatial sharding yet"
+            self._spatial_step = make_spatial_step(
+                cfg, self.forcing, modulus, heat_flux, self.mesh)
+            n_shards = int(np.prod(self.mesh.devices.shape))
+            self.state = shard_state(
+                rebalance_slabs(self.state, cfg, n_shards), self.mesh)
+            self._n_shards = n_shards
+
         @jax.jit
         def chunk_fn(state: FloeState, start: jnp.ndarray, n: jnp.ndarray,
                      dissolved: jnp.ndarray, domain_verts: jnp.ndarray):
@@ -87,10 +102,15 @@ class Simulation:
 
                 def do(args):
                     st, dis = args
-                    st2, aux = physics_step(
-                        st, self.forcing, idx, domain_verts, modulus,
-                        heat_flux, cfg,
-                    )
+                    if self.mesh is not None:
+                        st2, aux = self._spatial_step.__wrapped__(st, idx) \
+                            if hasattr(self._spatial_step, "__wrapped__") \
+                            else self._spatial_step(st, idx)
+                    else:
+                        st2, aux = physics_step(
+                            st, self.forcing, idx, domain_verts, modulus,
+                            heat_flux, cfg,
+                        )
                     dis2 = dis + dissolved_mass_grid(st, aux.killed, cfg,
                                                      nx, ny)
                     return (st2, dis2), aux
@@ -140,22 +160,59 @@ class Simulation:
             # host-side lifecycle at the chunk boundary
             aux_last = jax.tree_util.tree_map(lambda a: a[n - 1], auxes)
             dis_np = np.asarray(dissolved)
-            self.state, dis_np = self.lifecycle.step(
+            self.state, dis_np, changed = self.lifecycle.step(
                 self.state, aux_last, self.step_idx, dis_np
             )
+            if changed and self.mesh is not None:
+                from .parallel import rebalance_slabs, shard_state
+
+                self.state = shard_state(
+                    rebalance_slabs(self.state, self.cfg, self._n_shards),
+                    self.mesh)
             dissolved = jnp.asarray(dis_np, self.state.x.dtype)
             if on_chunk is not None:
                 on_chunk(self, auxes)
             if log_every and (self.step_idx % log_every == 0):
-                ncol = int(np.asarray(auxes.n_collisions)[n - 1])
-                alive = int(np.sum(np.asarray(self.state.alive)))
+                self.record_metrics(auxes)
+                m = self.metrics_history()
                 rate = done / max(time.time() - t0, 1e-9)
                 print(
-                    f"step {self.step_idx}: {alive} floes, "
-                    f"{ncol} collisions, {rate:.1f} steps/s"
+                    f"step {self.step_idx}: {m['alive'][-1]} floes, "
+                    f"{m['collisions'][-1]} collisions, {rate:.1f} steps/s"
                 )
         self.dissolved = np.asarray(dissolved)
         return self
+
+    # -- observability -----------------------------------------------------
+    # (SURVEY.md section 5: the reference has only tic/toc prints; here a
+    # structured metrics record + an XLA profiler hook)
+
+    def metrics_history(self) -> dict:
+        """Accumulated per-chunk series: step, wall time, collisions, live
+        floe count, total mass."""
+        if not hasattr(self, "_metrics"):
+            self._metrics = {
+                "step": [], "wall_s": [], "collisions": [],
+                "alive": [], "mass": [],
+            }
+        return self._metrics
+
+    def record_metrics(self, auxes) -> None:
+        m = self.metrics_history()
+        m["step"].append(self.step_idx)
+        m["wall_s"].append(time.time())
+        m["collisions"].append(int(np.max(np.asarray(auxes.n_collisions))))
+        m["alive"].append(int(np.sum(np.asarray(self.state.alive))))
+        m["mass"].append(float(total_mass(self.state)))
+
+    def profile(self, path: str, n_steps: int = 10) -> str:
+        """Run ``n_steps`` under the JAX/XLA profiler; trace goes to
+        ``path`` (open with TensorBoard or xprof)."""
+        import jax.profiler
+
+        with jax.profiler.trace(path):
+            self.run(n_steps)
+        return path
 
     # -- diagnostics -------------------------------------------------------
 
