@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..geometry.clip import _difference_one, _overlap_one
+from ..geometry.clip_batched import difference_stats_bm, overlap_stats_bm
 from .broadphase import NeighborTable
 
 
@@ -75,53 +75,44 @@ class BoundaryContact(NamedTuple):
     out: jnp.ndarray
 
 
-def _pair_force(
-    verts_i, verts_j,           # [V,2] world-frame padded polygons
-    ui, vi, ksi_i, xi, yi,      # floe i kinematics
-    uj, vj, ksi_j, xj, yj,      # neighbor kinematics
-    ff,                         # Force_factor for the pair
-    area_i, area_j,
+def _pair_forces_flat(
+    st,                          # OverlapStats, [P]-batched
+    ui, vi, ksi_i, xi, yi,       # [P] floe i kinematics
+    uj, vj, ksi_j, xj, yj,       # [P] neighbor kinematics
+    ff,                          # [P] Force_factor per pair
+    area_i, area_j,              # [P]
     shear_g, mu, dt,
     min_chord, merge_frac,
     dtype,
 ):
-    """Contact force of one floe pair (both world-frame polygons)."""
-    st = _overlap_one(verts_i, verts_j)
+    """Contact forces for a flat batch of polygon-pair overlap statistics."""
     ar = jnp.maximum(st.area, 0.0)
 
-    chord = st.chord_p
-    dl = jnp.sqrt(chord[0] ** 2 + chord[1] ** 2)
+    chx, chy = st.chord_p[..., 0], st.chord_p[..., 1]
+    dl = jnp.sqrt(chx * chx + chy * chy)
+    inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
     # Overlap-reducing force direction on floe i (see geometry/clip.py).
-    fdir = jnp.stack([-chord[1], chord[0]]) / jnp.where(dl > 0, dl, 1.0)
+    fdx = -chy * inv_dl
+    fdy = chx * inv_dl
 
     # Validity: >=2 crossings, measurable chord, positive area
     # (floe_interactions.m:71,141).
     ok = (st.n_cross >= 2) & (dl >= min_chord) & (ar > 0)
 
-    fn = fdir * ar * ff                                   # normal force
+    fn_norm = ar * ff                                     # normal magnitude
 
     # Tangential: relative velocity at the contact point (rigid-body).
-    px, py = st.centroid[0], st.centroid[1]
-    v1x = ui - ksi_i * (py - yi)
-    v1y = vi + ksi_i * (px - xi)
-    v2x = uj - ksi_j * (py - yj)
-    v2y = vj + ksi_j * (px - xj)
-    vtx = v1x - v2x
-    vty = v1y - v2y
+    px, py = st.centroid[..., 0], st.centroid[..., 1]
+    vtx = (ui - ksi_i * (py - yi)) - (uj - ksi_j * (py - yj))
+    vty = (vi + ksi_i * (px - xi)) - (vj + ksi_j * (px - xj))
     vt = jnp.sqrt(vtx * vtx + vty * vty)
-    tdirx = vtx / jnp.where(vt > 0, vt, 1.0)
-    tdiry = vty / jnp.where(vt > 0, vt, 1.0)
+    inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
     # force_t = -dot(dir_t, v_t) * dl * G * |v_t| * dir_t * dt
     #         = -|v_t|^2 dl G dt dir_t        (floe_interactions.m:178)
-    ft_mag = vt * vt * dl * shear_g * dt
-    fn_norm = ar * ff
     # Coulomb cap (floe_interactions.m:180-183).
-    ft_mag = jnp.minimum(ft_mag, mu * fn_norm)
-    ftx = -ft_mag * tdirx
-    fty = -ft_mag * tdiry
-
-    fx = jnp.where(ok, fn[0] + ftx, 0.0)
-    fy = jnp.where(ok, fn[1] + fty, 0.0)
+    ft_mag = jnp.minimum(vt * vt * dl * shear_g * dt, mu * fn_norm)
+    fx = jnp.where(ok, fdx * fn_norm - ft_mag * vtx * inv_vt, 0.0)
+    fy = jnp.where(ok, fdy * fn_norm - ft_mag * vty * inv_vt, 0.0)
 
     # Merge flags (floe_interactions.m:53-60): overlap fraction tested even
     # when the contact force itself is invalid.
@@ -183,23 +174,34 @@ def contact_forces(
 
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
 
-    pair = jax.vmap(jax.vmap(
-        _pair_force,
-        in_axes=(0, 0, None, None, None, None, None,
-                 0, 0, 0, 0, 0, 0, None, 0, None, None, None, None, None, None),
-    ), in_axes=(0, 0, 0, 0, 0, 0, 0,
-                0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None, None))
+    # Flatten the [N, K] pair grid into one lane-aligned batch and run the
+    # batch-minor clip kernel (geometry/clip_batched.py): every intermediate
+    # is [V, V', N*K] so elementwise ops use the full VPU lane width.
+    p = n * k
+    vcap = verts_world.shape[1]
+    st = overlap_stats_bm(vi.reshape(p, vcap, 2), vj.reshape(p, vcap, 2))
 
-    fx, fy, px, py, overlap, merge_i, merge_j = pair(
-        vi, vj,
-        u, v, ksi, x, y,
-        u_s[nbr.idx], v_s[nbr.idx], ksi_s[nbr.idx],
-        x_s[nbr.idx] + nbr.shift[..., 0], y_s[nbr.idx] + nbr.shift[..., 1],
-        ff,
-        area, area_s[nbr.idx],
+    def fl(a):
+        return a.reshape(p)
+
+    fx, fy, px, py, overlap, merge_i, merge_j = _pair_forces_flat(
+        st,
+        fl(jnp.broadcast_to(u[:, None], (n, k))),
+        fl(jnp.broadcast_to(v[:, None], (n, k))),
+        fl(jnp.broadcast_to(ksi[:, None], (n, k))),
+        fl(jnp.broadcast_to(x[:, None], (n, k))),
+        fl(jnp.broadcast_to(y[:, None], (n, k))),
+        fl(u_s[nbr.idx]), fl(v_s[nbr.idx]), fl(ksi_s[nbr.idx]),
+        fl(x_s[nbr.idx] + nbr.shift[..., 0]),
+        fl(y_s[nbr.idx] + nbr.shift[..., 1]),
+        fl(ff),
+        fl(jnp.broadcast_to(area[:, None], (n, k))), fl(area_s[nbr.idx]),
         shear_g, phys.mu_friction, dt,
         cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
         dtype,
+    )
+    fx, fy, px, py, overlap, merge_i, merge_j = (
+        a.reshape(n, k) for a in (fx, fy, px, py, overlap, merge_i, merge_j)
     )
 
     valid = nbr.valid
@@ -238,33 +240,34 @@ def boundary_contact(
     ff = modulus * h / r1                          # floe_interactions.m:14
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
 
-    def one(verts_i, xi, yi, ui, vi_, ksi_i, ff_i, area_i):
-        st = _difference_one(verts_i, domain_verts)
-        ar = jnp.maximum(st.area, 0.0)
-        chord = st.chord_p
-        dl = jnp.sqrt(chord[0] ** 2 + chord[1] ** 2)
-        fdir = jnp.stack([-chord[1], chord[0]]) / jnp.where(dl > 0, dl, 1.0)
-        ok = (st.n_cross >= 2) & (dl >= cfg.contact.min_chord) & (ar > 0)
-        fn = fdir * ar * ff_i
+    # Batch-minor difference kernel over all floes vs the (shared) domain.
+    n = verts_world.shape[0]
+    dom = jnp.broadcast_to(domain_verts[None], (n,) + domain_verts.shape)
+    st = difference_stats_bm(verts_world, dom)
 
-        px, py = st.centroid[0], st.centroid[1]
-        # Boundary is static: v2 = 0.
-        vtx = ui - ksi_i * (py - yi)
-        vty = vi_ + ksi_i * (px - xi)
-        vt = jnp.sqrt(vtx * vtx + vty * vty)
-        tdx = vtx / jnp.where(vt > 0, vt, 1.0)
-        tdy = vty / jnp.where(vt > 0, vt, 1.0)
-        ft = jnp.minimum(vt * vt * dl * shear_g * dt,
-                         phys.mu_friction * ar * ff_i)
-        fx = jnp.where(ok, fn[0] - ft * tdx, 0.0)
-        fy = jnp.where(ok, fn[1] - ft * tdy, 0.0)
-        absorb = ar / area_i > cfg.contact.boundary_overlap_frac
-        return (fx.astype(dtype), fy.astype(dtype), px.astype(dtype),
-                py.astype(dtype), jnp.where(ok, ar, 0.0).astype(dtype), absorb)
+    ar = jnp.maximum(st.area, 0.0)
+    chx, chy = st.chord_p[..., 0], st.chord_p[..., 1]
+    dl = jnp.sqrt(chx * chx + chy * chy)
+    inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
+    ok = (st.n_cross >= 2) & (dl >= cfg.contact.min_chord) & (ar > 0)
+    fn_norm = ar * ff
 
-    fx, fy, px, py, overlap, absorb = jax.vmap(one)(
-        verts_world, x, y, u, v, ksi, ff, area
-    )
+    px, py = st.centroid[..., 0], st.centroid[..., 1]
+    # Boundary is static: v2 = 0.
+    vtx = u - ksi * (py - y)
+    vty = v + ksi * (px - x)
+    vt = jnp.sqrt(vtx * vtx + vty * vty)
+    inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
+    ft = jnp.minimum(vt * vt * dl * shear_g * dt,
+                     phys.mu_friction * fn_norm)
+    fx = jnp.where(ok, -chy * inv_dl * fn_norm - ft * vtx * inv_vt, 0.0)
+    fy = jnp.where(ok, chx * inv_dl * fn_norm - ft * vty * inv_vt, 0.0)
+    absorb = ar / area > cfg.contact.boundary_overlap_frac
+    fx = fx.astype(dtype)
+    fy = fy.astype(dtype)
+    px = px.astype(dtype)
+    py = py.astype(dtype)
+    overlap = jnp.where(ok, ar, 0.0).astype(dtype)
 
     # Centroid-outside-domain kill (floe_interactions_all.m:152-155).
     from ..geometry.polygon import points_in_polygon
