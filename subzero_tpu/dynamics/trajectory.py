@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..forcing import Forcing, interp_bilinear
+from ..forcing import Forcing, sample_forcing
 from ..state import FloeState
 
 
@@ -94,11 +94,9 @@ def ocean_forcing(state: FloeState, forcing: Forcing, cfg: SimConfig):
     gx = xr[..., 0] + state.x[:, None]
     gy = xr[..., 1] + state.y[:, None]
 
-    args = (forcing.x0, forcing.y0, forcing.dx)
-    uo = interp_bilinear(forcing.uo, gx, gy, *args)
-    vo = interp_bilinear(forcing.vo, gx, gy, *args)
-    ua = interp_bilinear(forcing.ua, gx, gy, *args)
-    va = interp_bilinear(forcing.va, gx, gy, *args)
+    # Gather-free MXU interpolation (see forcing.interp_bilinear_mxu): the
+    # [N, P] sample of all four fields is the dominant cost of the refresh.
+    uo, vo, ua, va = sample_forcing(forcing, gx, gy)
 
     mask = state.mc_in.astype(gx.dtype)
     n_in = jnp.maximum(jnp.sum(mask, axis=1), 1.0)

