@@ -151,8 +151,11 @@ class NumericsConfig:
     broadphase: str = "n2"
     # Cell size for the cell-list broad phase; must be >= 2*max(rmax).
     cell_size: float = 0.0
-    # Contact geometry implementation: "xla" or "pallas"
-    contact_impl: str = "xla"
+    # Contact geometry implementation: "integral" (closed-form
+    # parity-integral clip, XLA-fused), "pallas" (same math as one fused
+    # Pallas TPU kernel, float32/TPU only), or "xla" (segment-midpoint
+    # formulation, the original reference implementation of the clip).
+    contact_impl: str = "integral"
 
 
 @dataclass(frozen=True)

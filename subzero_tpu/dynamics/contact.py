@@ -37,7 +37,28 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..geometry.clip_batched import difference_stats_bm, overlap_stats_bm
+from ..geometry.clip_integral import difference_stats_int, overlap_stats_int
 from .broadphase import NeighborTable
+
+
+def _clip_fns(cfg: SimConfig):
+    """(overlap, difference) clip implementations per cfg.numerics.contact_impl.
+
+    "integral" (default): closed-form parity-integral, XLA-fused
+                          (geometry/clip_integral.py)
+    "pallas":             same math as one fused Pallas TPU kernel
+                          (geometry/clip_pallas.py; TPU only, float32)
+    "xla":                segment-midpoint formulation (geometry/clip_batched.py)
+    """
+    impl = cfg.numerics.contact_impl
+    if impl == "pallas":
+        from ..geometry.clip_pallas import (
+            difference_stats_pallas, overlap_stats_pallas,
+        )
+        return overlap_stats_pallas, difference_stats_pallas
+    if impl == "xla":
+        return overlap_stats_bm, difference_stats_bm
+    return overlap_stats_int, difference_stats_int
 
 
 class PairContacts(NamedTuple):
@@ -156,8 +177,14 @@ def contact_forces(
     else:
         verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = src
 
-    vj = verts_s[nbr.idx] + nbr.shift[:, :, None, :]      # [N, K, V, 2]
-    vi = jnp.broadcast_to(verts_world[:, None], vj.shape)
+    # Pair-local frame: clip with both polygons translated by floe i's
+    # centroid.  Area/chord/crossings are translation-invariant and the
+    # f32 coordinates drop from domain scale (1e5) to contact scale (1e3),
+    # recovering ~2 decimal digits of geometry accuracy; the contact point
+    # is shifted back below.
+    ci = jnp.stack([x, y], axis=-1)[:, None, None, :]     # [N, 1, 1, 2]
+    vj = verts_s[nbr.idx] + nbr.shift[:, :, None, :] - ci  # [N, K, V, 2]
+    vi = jnp.broadcast_to(verts_world[:, None] - ci, vj.shape)
 
     r = jnp.sqrt(area)
     r_src = jnp.sqrt(area_s)
@@ -175,25 +202,29 @@ def contact_forces(
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
 
     # Flatten the [N, K] pair grid into one lane-aligned batch and run the
-    # batch-minor clip kernel (geometry/clip_batched.py): every intermediate
-    # is [V, V', N*K] so elementwise ops use the full VPU lane width.
+    # batch-minor clip kernel (cfg.numerics.contact_impl): every intermediate
+    # is lane-major over the N*K pairs so elementwise ops use the full VPU
+    # lane width.
     p = n * k
     vcap = verts_world.shape[1]
-    st = overlap_stats_bm(vi.reshape(p, vcap, 2), vj.reshape(p, vcap, 2))
+    overlap_fn, _ = _clip_fns(cfg)
+    st = overlap_fn(vi.reshape(p, vcap, 2), vj.reshape(p, vcap, 2))
 
     def fl(a):
         return a.reshape(p)
 
+    zero_nk = jnp.zeros((n, k), dtype)
     fx, fy, px, py, overlap, merge_i, merge_j = _pair_forces_flat(
         st,
         fl(jnp.broadcast_to(u[:, None], (n, k))),
         fl(jnp.broadcast_to(v[:, None], (n, k))),
         fl(jnp.broadcast_to(ksi[:, None], (n, k))),
-        fl(jnp.broadcast_to(x[:, None], (n, k))),
-        fl(jnp.broadcast_to(y[:, None], (n, k))),
+        # kinematics in the pair-local frame: floe i's centroid is the origin
+        fl(zero_nk),
+        fl(zero_nk),
         fl(u_s[nbr.idx]), fl(v_s[nbr.idx]), fl(ksi_s[nbr.idx]),
-        fl(x_s[nbr.idx] + nbr.shift[..., 0]),
-        fl(y_s[nbr.idx] + nbr.shift[..., 1]),
+        fl(x_s[nbr.idx] + nbr.shift[..., 0] - x[:, None]),
+        fl(y_s[nbr.idx] + nbr.shift[..., 1] - y[:, None]),
         fl(ff),
         fl(jnp.broadcast_to(area[:, None], (n, k))), fl(area_s[nbr.idx]),
         shear_g, phys.mu_friction, dt,
@@ -203,6 +234,9 @@ def contact_forces(
     fx, fy, px, py, overlap, merge_i, merge_j = (
         a.reshape(n, k) for a in (fx, fy, px, py, overlap, merge_i, merge_j)
     )
+    # contact points back to world coordinates
+    px = px + x[:, None]
+    py = py + y[:, None]
 
     valid = nbr.valid
     zero = jnp.zeros((), dtype)
@@ -240,10 +274,13 @@ def boundary_contact(
     ff = modulus * h / r1                          # floe_interactions.m:14
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
 
-    # Batch-minor difference kernel over all floes vs the (shared) domain.
+    # Batch-minor difference kernel over all floes vs the (shared) domain,
+    # in a floe-local frame (centroid at the origin) for f32 conditioning.
     n = verts_world.shape[0]
-    dom = jnp.broadcast_to(domain_verts[None], (n,) + domain_verts.shape)
-    st = difference_stats_bm(verts_world, dom)
+    ci = jnp.stack([x, y], axis=-1)[:, None, :]            # [N, 1, 2]
+    dom = jnp.broadcast_to(domain_verts[None], (n,) + domain_verts.shape) - ci
+    _, difference_fn = _clip_fns(cfg)
+    st = difference_fn(verts_world - ci, dom)
 
     ar = jnp.maximum(st.area, 0.0)
     chx, chy = st.chord_p[..., 0], st.chord_p[..., 1]
@@ -252,10 +289,11 @@ def boundary_contact(
     ok = (st.n_cross >= 2) & (dl >= cfg.contact.min_chord) & (ar > 0)
     fn_norm = ar * ff
 
+    # floe-local contact point: (px, py) = contact point - centroid
     px, py = st.centroid[..., 0], st.centroid[..., 1]
     # Boundary is static: v2 = 0.
-    vtx = u - ksi * (py - y)
-    vty = v + ksi * (px - x)
+    vtx = u - ksi * py
+    vty = v + ksi * px
     vt = jnp.sqrt(vtx * vtx + vty * vty)
     inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
     ft = jnp.minimum(vt * vt * dl * shear_g * dt,
@@ -265,8 +303,9 @@ def boundary_contact(
     absorb = ar / area > cfg.contact.boundary_overlap_frac
     fx = fx.astype(dtype)
     fy = fy.astype(dtype)
-    px = px.astype(dtype)
-    py = py.astype(dtype)
+    # contact point back to world coordinates
+    px = (px + x).astype(dtype)
+    py = (py + y).astype(dtype)
     overlap = jnp.where(ok, ar, 0.0).astype(dtype)
 
     # Centroid-outside-domain kill (floe_interactions_all.m:152-155).

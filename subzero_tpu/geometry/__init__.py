@@ -13,6 +13,7 @@ from .polygon import (
 )
 from .clip import OverlapStats, difference_stats, intersection_area, overlap_stats
 from .clip_batched import difference_stats_bm, overlap_stats_bm
+from .clip_integral import difference_stats_int, overlap_stats_int
 from .measures import cut_polygon, point_poly_dist, segment_intersections
 
 __all__ = [
@@ -30,7 +31,9 @@ __all__ = [
     "OverlapStats",
     "difference_stats",
     "difference_stats_bm",
+    "difference_stats_int",
     "overlap_stats_bm",
+    "overlap_stats_int",
     "cut_polygon",
     "point_poly_dist",
     "segment_intersections",
