@@ -66,6 +66,11 @@ class ContactConfig:
     # Minimum contact-chord length for a valid force direction
     # (floe_interactions.m:142 `dl < 0.1`).
     min_chord: float = 0.1
+    # Contact-point velocity form for the tangential force:
+    # "reference" = the radial v = [U V] + ksi*(p - r) of
+    # floe_interactions.m:170-171 (what the MATLAB model actually computes);
+    # "rigid" = the physically-correct rigid-body cross product.
+    tangential_velocity: str = "reference"
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,10 @@ def _pair_forces_flat(
     shear_g, mu, dt,
     min_chord, merge_frac,
     dtype,
+    amin=0.0,                    # [P] small-region area cull threshold
+    merge_ok=True,               # [P] merge-gate (floe_interactions.m:54)
+    min_cross: int = 2,
+    tang_reference: bool = True,
 ):
     """Contact forces for a flat batch of polygon-pair overlap statistics."""
     ar = jnp.maximum(st.area, 0.0)
@@ -116,16 +120,27 @@ def _pair_forces_flat(
     fdx = -chy * inv_dl
     fdy = chx * inv_dl
 
-    # Validity: >=2 crossings, measurable chord, positive area
-    # (floe_interactions.m:71,141).
-    ok = (st.n_cross >= 2) & (dl >= min_chord) & (ar > 0)
+    # Validity: >= min_crossings boundary crossings, measurable chord,
+    # positive area (floe_interactions.m:71,141), and the small-region cull
+    # Ar < min(N1,N2)*100/1.75 (:79-83) applied to the aggregate area —
+    # exact whenever the overlap has <= 1 region (total < Amin implies every
+    # region < Amin; see tests/test_golden.py for the multi-region error).
+    ok = (st.n_cross >= min_cross) & (dl >= min_chord) & (ar > 0) \
+        & (ar >= amin)
 
     fn_norm = ar * ff                                     # normal magnitude
 
-    # Tangential: relative velocity at the contact point (rigid-body).
+    # Tangential: relative velocity at the contact point.  The reference
+    # uses the *radial* form v = [U V] + ksi*(p - r)
+    # (floe_interactions.m:170-171) — not the rigid-body cross product;
+    # cfg.contact.tangential_velocity selects which to apply.
     px, py = st.centroid[..., 0], st.centroid[..., 1]
-    vtx = (ui - ksi_i * (py - yi)) - (uj - ksi_j * (py - yj))
-    vty = (vi + ksi_i * (px - xi)) - (vj + ksi_j * (px - xj))
+    if tang_reference:
+        vtx = (ui + ksi_i * (px - xi)) - (uj + ksi_j * (px - xj))
+        vty = (vi + ksi_i * (py - yi)) - (vj + ksi_j * (py - yj))
+    else:
+        vtx = (ui - ksi_i * (py - yi)) - (uj - ksi_j * (py - yj))
+        vty = (vi + ksi_i * (px - xi)) - (vj + ksi_j * (px - xj))
     vt = jnp.sqrt(vtx * vtx + vty * vty)
     inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
     # force_t = -dot(dir_t, v_t) * dl * G * |v_t| * dir_t * dt
@@ -136,8 +151,9 @@ def _pair_forces_flat(
     fy = jnp.where(ok, fdy * fn_norm - ft_mag * vty * inv_vt, 0.0)
 
     # Merge flags (floe_interactions.m:53-60): overlap fraction tested even
-    # when the contact force itself is invalid.
-    touching = ar > 0
+    # when the contact force itself is invalid, gated on floe i inside the
+    # domain bbox / small neighbor / periodic (:54).
+    touching = (ar > 0) & merge_ok
     merge_i = touching & (ar / area_i > merge_frac)
     merge_j = touching & (ar / area_j > merge_frac) & ~merge_i
     overlap = jnp.where(touching & ok, ar, 0.0)
@@ -157,6 +173,9 @@ def contact_forces(
     modulus: float,
     cfg: SimConfig,
     src: tuple | None = None,     # optional candidate-source arrays
+    nv: jnp.ndarray | None = None,        # [N] vertex counts (region cull)
+    nv_s: jnp.ndarray | None = None,      # source vertex counts
+    domain_verts: jnp.ndarray | None = None,  # merge-gate bbox (:54)
 ) -> PairContacts:
     """Contact forces for every (floe, candidate) in the neighbor table.
 
@@ -174,6 +193,8 @@ def contact_forces(
     if src is None:
         verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = (
             verts_world, x, y, u, v, ksi, h, area)
+        if nv_s is None:
+            nv_s = nv
     else:
         verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = src
 
@@ -200,6 +221,32 @@ def contact_forces(
     ff = jnp.where(giant, modulus * h_min / r_min, ff)
 
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
+
+    # Small-region cull threshold Amin = min(N1,N2)*100/1.75
+    # (floe_interactions.m:78-83); vertex counts default to the padded cap.
+    vcap_i = verts_world.shape[1]
+    nv_i = (jnp.full((n,), vcap_i, jnp.int32) if nv is None else nv)
+    nv_j = (jnp.full((verts_s.shape[0],), verts_s.shape[1], jnp.int32)
+            if nv_s is None else nv_s)
+    amin = (jnp.minimum(nv_i[:, None], nv_j[nbr.idx]).astype(dtype)
+            * cfg.contact.small_region_coeff)
+
+    # Merge gate (floe_interactions.m:54): floe i fully inside the domain
+    # bbox OR the neighbor smaller than 95% of the domain OR periodic.
+    if cfg.processes.periodic or domain_verts is None:
+        merge_ok = jnp.ones((n, k), bool)
+    else:
+        bx = domain_verts[:, 0]
+        by = domain_verts[:, 1]
+        vx = verts_world[..., 0]
+        vy = verts_world[..., 1]
+        in_bbox = (
+            (jnp.max(vx, 1) < jnp.max(bx)) & (jnp.min(vx, 1) > jnp.min(bx))
+            & (jnp.max(vy, 1) < jnp.max(by)) & (jnp.min(vy, 1) > jnp.min(by))
+        )
+        dom_area = 0.5 * jnp.abs(jnp.sum(
+            bx * jnp.roll(by, -1) - jnp.roll(bx, -1) * by))
+        merge_ok = in_bbox[:, None] | (area_s[nbr.idx] < 0.95 * dom_area)
 
     # Flatten the [N, K] pair grid into one lane-aligned batch and run the
     # batch-minor clip kernel (cfg.numerics.contact_impl): every intermediate
@@ -230,6 +277,10 @@ def contact_forces(
         shear_g, phys.mu_friction, dt,
         cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
         dtype,
+        amin=fl(amin),
+        merge_ok=fl(merge_ok),
+        min_cross=cfg.contact.min_crossings,
+        tang_reference=cfg.contact.tangential_velocity == "reference",
     )
     fx, fy, px, py, overlap, merge_i, merge_j = (
         a.reshape(n, k) for a in (fx, fy, px, py, overlap, merge_i, merge_j)
@@ -258,6 +309,7 @@ def boundary_contact(
     domain_verts: jnp.ndarray,     # [Vb, 2] CCW domain polygon
     modulus: float,
     cfg: SimConfig,
+    nv: jnp.ndarray | None = None,  # [N] vertex counts (region cull)
 ) -> BoundaryContact:
     """Floe-vs-domain-boundary contact (the reference's ``floebound`` path).
 
@@ -286,14 +338,24 @@ def boundary_contact(
     chx, chy = st.chord_p[..., 0], st.chord_p[..., 1]
     dl = jnp.sqrt(chx * chx + chy * chy)
     inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
-    ok = (st.n_cross >= 2) & (dl >= cfg.contact.min_chord) & (ar > 0)
+    # Small-region cull with N2 = 4 (the rectangular wall polygon).
+    nv_i = (jnp.full((n,), verts_world.shape[1], x.dtype)
+            if nv is None else nv.astype(x.dtype))
+    amin = jnp.minimum(nv_i, 4.0) * cfg.contact.small_region_coeff
+    ok = (st.n_cross >= cfg.contact.min_crossings) \
+        & (dl >= cfg.contact.min_chord) & (ar > 0) & (ar >= amin)
     fn_norm = ar * ff
 
     # floe-local contact point: (px, py) = contact point - centroid
     px, py = st.centroid[..., 0], st.centroid[..., 1]
-    # Boundary is static: v2 = 0.
-    vtx = u - ksi * py
-    vty = v + ksi * px
+    # Boundary is static: v2 = 0.  Radial reference form (:170-171) or
+    # rigid-body, per cfg.contact.tangential_velocity.
+    if cfg.contact.tangential_velocity == "reference":
+        vtx = u + ksi * px
+        vty = v + ksi * py
+    else:
+        vtx = u - ksi * py
+        vty = v + ksi * px
     vt = jnp.sqrt(vtx * vtx + vty * vty)
     inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
     ft = jnp.minimum(vt * vt * dl * shear_g * dt,

@@ -114,6 +114,7 @@ def physics_step(
         pc = contact_forces(
             verts_world, state.x, state.y, state.u, state.v, state.ksi,
             state.h, state.area, nbr, modulus, cfg,
+            nv=state.nv, domain_verts=domain_verts,
         )
     else:
         zk = jnp.zeros(nbr.idx.shape, dtype)
@@ -128,6 +129,7 @@ def physics_step(
         bc = boundary_contact(
             verts_world, state.x, state.y, state.u, state.v, state.ksi,
             state.h, state.area, state.alive, domain_verts, modulus, cfg,
+            nv=state.nv,
         )
         # Rectangular-wall force-component zeroing
         # (floe_interactions_all.m:157-166): contact points on the x-walls

@@ -176,12 +176,16 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         pc = contact_forces(
             verts_loc, state.x, state.y, state.u, state.v, state.ksi,
             state.h, state.area, nbr, modulus, cfg, src=src,
+            nv=state.nv,
+            nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
+            domain_verts=None if periodic else domain_rep,
         )
 
         if not periodic:
             bc = boundary_contact(
                 verts_loc, state.x, state.y, state.u, state.v, state.ksi,
                 state.h, state.area, state.alive, domain_rep, modulus, cfg,
+                nv=state.nv,
             )
             lx_d = jnp.max(jnp.abs(domain_rep[:, 0]))
             ly_d = jnp.max(jnp.abs(domain_rep[:, 1]))
