@@ -1,14 +1,19 @@
 """Benchmark harness: floe-steps/s/chip on the flagship contact workload.
 
 Prints ONE JSON line:
-  {"metric": "floe-steps/s/chip@10k", "value": N, "unit": "floe-steps/s",
-   "vs_baseline": R}
+  {"metric": "floe-steps/s/chip@10240", "value": N, "unit": "floe-steps/s",
+   "vs_baseline": R, "pairs_per_s": P, "compile_s": C}
 
-``vs_baseline`` is the speedup over the same step executed by the
-single-host CPU backend (the stand-in for the reference's serial MATLAB
-process — SubZero publishes no numbers, see BASELINE.md), measured at a
-smaller floe count and scaled linearly in floe count (the per-step work is
-dominated by the [N, K] narrow phase, linear in N at fixed neighbor cap).
+``vs_baseline`` is the speedup over the *serial reference oracle*
+(``subzero_tpu/oracle.py`` — the float64 numpy+native-engine implementation
+of floe_interactions.m/calc_trajectory.m semantics, golden-tested against
+the JAX step in tests/test_golden.py), measured on the same dense-pack
+workload at a smaller floe count and scaled linearly in floe count.  The
+serial model's cost is superlinear in N (O(N^2) broad phase), so linear
+scaling UNDERSTATES the true speedup — the number is conservative.
+
+A persistent XLA compilation cache (.jax_cache/) makes repeat runs of an
+unchanged step graph skip the ~300 s remote TPU compile.
 """
 
 from __future__ import annotations
@@ -20,12 +25,22 @@ import time
 
 import numpy as np
 
-# 10k floes is the SURVEY.md target scale; the default stays at 4096 until
-# the narrow-phase kernel is Pallas-optimized (remote compile of the step
-# graph is ~300 s and the driver's bench window is finite).
-N_FLOES = int(os.environ.get("BENCH_FLOES", 4096))
-N_CPU = int(os.environ.get("BENCH_CPU_FLOES", 512))
+N_FLOES = int(os.environ.get("BENCH_FLOES", 10240))
+N_SERIAL = int(os.environ.get("BENCH_SERIAL_FLOES", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
+SERIAL_STEPS = int(os.environ.get("BENCH_SERIAL_STEPS", 5))
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def build(n_floes: int, dtype: str = "float32"):
@@ -69,8 +84,8 @@ def build(n_floes: int, dtype: str = "float32"):
     return cfg, state, forcing
 
 
-def measure(n_floes: int, steps: int, device=None) -> float:
-    """floe-steps/s of the jitted physics step on ``device``."""
+def measure(n_floes: int, steps: int, device=None):
+    """(floe-steps/s, pair-slots/s, compile_s) of the jitted step."""
     import jax
     import jax.numpy as jnp
 
@@ -88,36 +103,58 @@ def measure(n_floes: int, steps: int, device=None) -> float:
     t0 = time.time()
     s, aux = step(state, jnp.asarray(0))
     jax.block_until_ready(s.x)
-    print(f"[bench] compile+warmup {time.time()-t0:.1f}s on {device}",
+    compile_s = time.time() - t0
+    print(f"[bench] compile+warmup {compile_s:.1f}s on {device}",
           file=sys.stderr, flush=True)
     t0 = time.time()
     for i in range(1, steps + 1):
         s, aux = step(s, jnp.asarray(i))
     jax.block_until_ready(s.x)
     dt = time.time() - t0
+    k = cfg.capacity.max_neighbors
+    return n_floes * steps / dt, n_floes * k * steps / dt, compile_s
+
+
+def measure_serial(n_floes: int, steps: int) -> float:
+    """floe-steps/s of the serial reference oracle on the same workload."""
+    from subzero_tpu.oracle import floes_from_state, oracle_step
+
+    cfg, state, forcing = build(n_floes, dtype="float32")
+    floes = floes_from_state(state, cfg, n=n_floes)
+    # warmup one step (builds the native library, primes caches)
+    oracle_step(floes, forcing, cfg, 1.6e8, 0)
+    t0 = time.time()
+    for s in range(1, steps + 1):
+        oracle_step(floes, forcing, cfg, 1.6e8, s)
+    dt = time.time() - t0
     return n_floes * steps / dt
 
 
 def main():
+    _enable_compile_cache()
     import jax
 
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     dev = tpu_devices[0] if tpu_devices else jax.devices()[0]
 
-    rate = measure(N_FLOES, STEPS, dev)
+    rate, pairs_s, compile_s = measure(N_FLOES, STEPS, dev)
 
-    # CPU proxy baseline (serial-reference stand-in), scaled to N_FLOES.
     try:
-        cpu = jax.devices("cpu")[0]
-        cpu_rate = measure(N_CPU, max(STEPS // 6, 3), cpu)
-    except Exception:
-        cpu_rate = float("nan")
+        serial_rate = measure_serial(N_SERIAL, SERIAL_STEPS)
+        print(f"[bench] serial oracle {serial_rate:.1f} floe-steps/s "
+              f"@{N_SERIAL}", file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] serial baseline failed: {e}", file=sys.stderr)
+        serial_rate = float("nan")
 
     out = {
         "metric": f"floe-steps/s/chip@{N_FLOES}",
         "value": round(rate, 1),
         "unit": "floe-steps/s",
-        "vs_baseline": round(rate / cpu_rate, 2) if cpu_rate == cpu_rate else None,
+        "vs_baseline": (round(rate / serial_rate, 2)
+                        if serial_rate == serial_rate else None),
+        "pairs_per_s": round(pairs_s, 1),
+        "compile_s": round(compile_s, 1),
     }
     print(json.dumps(out))
 

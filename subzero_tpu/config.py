@@ -71,6 +71,13 @@ class ContactConfig:
     # floe_interactions.m:170-171 (what the MATLAB model actually computes);
     # "rigid" = the physically-correct rigid-body cross product.
     tangential_velocity: str = "reference"
+    # Wall force-component zeroing tolerance (floe_interactions_all.m:157-166
+    # zeroes the wall-parallel force component when the contact point sits ON
+    # |x|=Lx / |y|=Ly — compared with ==, which never fires for a region
+    # centroid, so the reference rule is effectively inert and wall friction
+    # survives).  0.0 reproduces that; a positive tolerance (meters) enables
+    # the rule as written.
+    wall_zero_tol: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -133,14 +133,15 @@ def physics_step(
         )
         # Rectangular-wall force-component zeroing
         # (floe_interactions_all.m:157-166): contact points on the x-walls
-        # push only in x, on the y-walls only in y.  Tolerance-based (the
-        # reference compares floats with ==).  Wall positions derive from
-        # the (possibly moving) domain polygon, not the static config.
+        # push only in x, on the y-walls only in y.  The reference compares
+        # with ==, which never fires for a region centroid — the default
+        # wall_zero_tol=0.0 reproduces that (wall friction survives).  Wall
+        # positions derive from the (possibly moving) domain polygon.
         lx_dyn = jnp.max(jnp.abs(domain_verts[:, 0]))
         ly_dyn = jnp.max(jnp.abs(domain_verts[:, 1]))
-        eps = 1e-6 * lx_dyn
-        on_y_wall = jnp.abs(jnp.abs(bc.py) - ly_dyn) < eps
-        on_x_wall = jnp.abs(jnp.abs(bc.px) - lx_dyn) < eps
+        eps = cfg.contact.wall_zero_tol
+        on_y_wall = jnp.abs(jnp.abs(bc.py) - ly_dyn) <= eps
+        on_x_wall = jnp.abs(jnp.abs(bc.px) - lx_dyn) <= eps
         b_fx = jnp.where(on_y_wall & ~on_x_wall, 0.0, bc.fx)
         b_fy = jnp.where(on_x_wall & ~on_y_wall, 0.0, bc.fy)
         bc = bc._replace(fx=b_fx, fy=b_fy)

@@ -356,16 +356,25 @@ def floe_interactions(
                     force_dir = f_dir / norm
                 dl = float(b[on].mean())
 
-        # direction disambiguation via displace-and-reclip (:139-165)
+        # direction disambiguation via displace-and-reclip (:139-165).
+        # The reference matches each displaced region to the original via an
+        # exact polygon intersection (Clipper int64 is robust on the
+        # 1-m-wide sliver-vs-sliver cases this produces); our float64 engine
+        # can return empty there, so the region-matching test uses bbox
+        # overlap instead — same pairing, degeneracy-proof.
         if dl < 0.1:
             force_dir = np.zeros(2)
         else:
             c1_new = c1 + force_dir
             op = "dif" if boundary else "int"
             new_regions = poly_boolean(c1_new, c2, op)
+            rmin = reg.min(axis=0) - 1.5
+            rmax_ = reg.max(axis=0) + 1.5
             for nr in new_regions:
-                if poly_boolean(nr, reg, "int"):
-                    if _poly_area(np.asarray(nr)) / ar[k] - 1.0 > 0:
+                nr = np.asarray(nr)
+                if np.all(nr.max(axis=0) >= rmin) and \
+                        np.all(nr.min(axis=0) <= rmax_):
+                    if _poly_area(nr) / ar[k] - 1.0 > 0:
                         force_dir = -force_dir
 
         force = force_dir * ar[k] * force_factor    # (:167)
@@ -503,9 +512,11 @@ def interactions_all(
             if np.abs(force).sum() != 0:
                 for r in range(len(force)):
                     fx, fy = force[r]
-                    if abs(abs(pc[r, 1]) - ly) < 1e-9:
+                    # == comparison like the reference (:160-165); inert for
+                    # region centroids, see ContactConfig.wall_zero_tol
+                    if abs(abs(pc[r, 1]) - ly) <= cfg.contact.wall_zero_tol:
                         fx = 0.0
-                    if abs(abs(pc[r, 0]) - lx) < 1e-9:
+                    if abs(abs(pc[r, 0]) - lx) <= cfg.contact.wall_zero_tol:
                         fy = 0.0
                     fi.interactions.append(
                         [math.inf, fx, fy, pc[r, 0], pc[r, 1], 0.0, ov[r]])

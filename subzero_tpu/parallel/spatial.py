@@ -189,9 +189,9 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             )
             lx_d = jnp.max(jnp.abs(domain_rep[:, 0]))
             ly_d = jnp.max(jnp.abs(domain_rep[:, 1]))
-            eps = 1e-6 * lx_d
-            on_y = jnp.abs(jnp.abs(bc.py) - ly_d) < eps
-            on_x = jnp.abs(jnp.abs(bc.px) - lx_d) < eps
+            eps = cfg.contact.wall_zero_tol   # 0.0 = reference == semantics
+            on_y = jnp.abs(jnp.abs(bc.py) - ly_d) <= eps
+            on_x = jnp.abs(jnp.abs(bc.px) - lx_d) <= eps
             bc = bc._replace(
                 fx=jnp.where(on_y & ~on_x, 0.0, bc.fx),
                 fy=jnp.where(on_x & ~on_y, 0.0, bc.fy),
@@ -383,20 +383,28 @@ def rebalance_slabs(state: FloeState, cfg: SimConfig, n_shards: int,
     alive = arrs["alive"]
     owner = np.clip(((arrs["x"] + lx) // w).astype(int), 0, n_shards - 1)
 
+    # Vectorized slot assignment: sort live floes by owner slab (stable), go
+    # to consecutive slots within each slab block — one fancy-indexed copy
+    # per field instead of a per-floe Python loop (VERDICT round-1 item 4).
+    live_idx = np.nonzero(alive)[0]
+    order = np.argsort(owner[live_idx], kind="stable")
+    src = live_idx[order]                       # sources grouped by slab
+    own_sorted = owner[src]
+    counts = np.bincount(own_sorted, minlength=n_shards)
+    if np.any(counts > n_loc):
+        s = int(np.argmax(counts > n_loc))
+        raise RuntimeError(
+            f"slab {s} over capacity during rebalance "
+            f"(raise max_floes or shard count)")
+    within = np.arange(len(src)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    dst = own_sorted * n_loc + within
+
     new = {k: v.copy() for k, v in arrs.items()}
     new["alive"][:] = False
-    fill = [0] * n_shards
-    for i in np.nonzero(alive)[0]:
-        s = owner[i]
-        if fill[s] >= n_loc:
-            raise RuntimeError(
-                f"slab {s} over capacity during rebalance "
-                f"(raise max_floes or shard count)")
-        dst = s * n_loc + fill[s]
-        fill[s] += 1
-        for k, v in arrs.items():
-            new[k][dst] = v[i]
-        new["alive"][dst] = True
+    for k, v in arrs.items():
+        new[k][dst] = v[src]
+    new["alive"][dst] = True
 
     import jax.numpy as jnp
 

@@ -161,7 +161,11 @@ def corners_pass(
             da[np.argmin(d2, axis=0)] = True
         for j in contact_nbrs.get(i, []):
             if 0 <= j < view.n and view.alive[j] and view.polys[j] is not None:
-                qp = view.poly(j)
+                # minimum-image shift of the neighbor when PERIODIC (the
+                # reference's ghost construction, corners.m:13-49)
+                from .host import min_image_shift
+
+                qp = view.poly(j) + min_image_shift(view, i, j, cfg)
                 for k in range(n):
                     if _pip(poly[k], qp):
                         da[k] = True

@@ -25,11 +25,19 @@ def _outer_regions(contours: list[np.ndarray], min_area: float):
 
 
 def fuse_floes(view: HostView, i: int, js: list[int],
-               cfg: SimConfig) -> StateEdit:
-    """Fuse floe ``i`` with floes ``js`` into new floes (Fuse_Floes.m)."""
+               cfg: SimConfig,
+               poly_override: dict[int, np.ndarray] | None = None
+               ) -> StateEdit:
+    """Fuse floe ``i`` with floes ``js`` into new floes (Fuse_Floes.m).
+
+    ``poly_override``: replacement world polygons per slot — used by the
+    periodic weld pass to fuse against minimum-image shifted copies of
+    floes that sit across the torus seam.
+    """
     edit = StateEdit()
     members = [i] + list(js)
-    polys = [view.poly(k) for k in members]
+    ovr = poly_override or {}
+    polys = [ovr.get(k, view.poly(k)) for k in members]
     uni = polys[0]
     uni = [uni]
     for p in polys[1:]:

@@ -67,6 +67,100 @@ def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
     )
 
 
+def candidate_pairs(
+    view: HostView, cfg: SimConfig,
+    indices: list[int] | None = None,
+) -> list[tuple[int, int, tuple[float, float]]]:
+    """Spatial-hash broad phase over live floes: unordered candidate pairs
+    (i, j, shift) whose bounding circles overlap, where ``shift`` is the
+    minimum-image translation to apply to floe j's polygon when PERIODIC
+    (the host-pass equivalent of the reference's ghost-floe construction,
+    floe_interactions_all.m:18-66 / corners.m:13-49 / weld.m ghosts).
+
+    O(N x local density) — replaces the O(N^2) pure-Python double loop that
+    round-1 used (VERDICT item 4).
+    """
+    lx, ly = cfg.domain.lx, cfg.domain.ly
+    periodic = cfg.processes.periodic
+    if indices is None:
+        indices = [i for i in range(view.n)
+                   if view.alive[i] and view.polys[i] is not None]
+    if len(indices) < 2:
+        return []
+    idx = np.asarray(indices)
+    x = view.x[idx]
+    y = view.y[idx]
+    r = view.rmax[idx]
+    cell = max(float(2.0 * r.max()), 1.0)
+    nx = max(int(np.ceil(2 * lx / cell)), 1)
+    ny = max(int(np.ceil(2 * ly / cell)), 1)
+    cx = np.clip(((x + lx) / cell).astype(int), 0, nx - 1)
+    cy = np.clip(((y + ly) / cell).astype(int), 0, ny - 1)
+
+    bins: dict[tuple[int, int], list[int]] = {}
+    for k in range(len(idx)):
+        bins.setdefault((int(cx[k]), int(cy[k])), []).append(k)
+
+    pairs: list[tuple[int, int, tuple[float, float]]] = []
+    seen: set[tuple[int, int, float, float]] = set()
+    for (bx, by), members in bins.items():
+        for dbx in (-1, 0, 1):
+            for dby in (-1, 0, 1):
+                qx, qy = bx + dbx, by + dby
+                sx = sy = 0.0
+                if periodic:
+                    if qx < 0:
+                        qx += nx
+                        sx = -2 * lx
+                    elif qx >= nx:
+                        qx -= nx
+                        sx = 2 * lx
+                    if qy < 0:
+                        qy += ny
+                        sy = -2 * ly
+                    elif qy >= ny:
+                        qy -= ny
+                        sy = 2 * ly
+                elif not (0 <= qx < nx and 0 <= qy < ny):
+                    continue
+                others = bins.get((qx, qy))
+                if not others:
+                    continue
+                ka = np.asarray(members)
+                kb = np.asarray(others)
+                dx = x[ka][:, None] - (x[kb][None, :] + sx)
+                dy = y[ka][:, None] - (y[kb][None, :] + sy)
+                rr = r[ka][:, None] + r[kb][None, :]
+                hit = dx * dx + dy * dy < rr * rr
+                for a, b in zip(*np.nonzero(hit)):
+                    i = int(idx[ka[a]])
+                    j = int(idx[kb[b]])
+                    si, sj = sx, sy
+                    if i == j:
+                        continue
+                    if i > j:                   # canonical (i<j, shift on j)
+                        i, j = j, i
+                        si, sj = -si, -sj
+                    key = (i, j, si, sj)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    pairs.append((i, j, (si, sj)))
+    return pairs
+
+
+def min_image_shift(view: HostView, i: int, j: int,
+                    cfg: SimConfig) -> np.ndarray:
+    """Minimum-image translation to apply to floe j's polygon so it sits in
+    floe i's frame (zero when not periodic)."""
+    s = np.zeros(2)
+    if cfg.processes.periodic:
+        lx, ly = cfg.domain.lx, cfg.domain.ly
+        s[0] = -2 * lx * np.round((view.x[j] - view.x[i]) / (2 * lx))
+        s[1] = -2 * ly * np.round((view.y[j] - view.y[i]) / (2 * ly))
+    return s
+
+
 @dataclass
 class NewFloe:
     """A floe to be materialized into a free slot.

@@ -27,25 +27,9 @@ import numpy as np
 from ..config import SimConfig
 from ..native import poly_boolean, poly_area
 from .. import hostgeom as hg
-from .host import HostView, NewFloe, StateEdit
+from .host import HostView, NewFloe, StateEdit, candidate_pairs
 
 HC = 0.2  # critical thickness (ridge.m:27)
-
-
-def _candidate_pairs(view: HostView, cfg: SimConfig):
-    """Bounding-circle overlapping candidate pairs (host broad phase)."""
-    idx = [i for i in range(view.n) if view.alive[i] and view.polys[i] is not None]
-    x = view.x
-    y = view.y
-    r = view.rmax
-    pairs = []
-    for a in range(len(idx)):
-        i = idx[a]
-        for b in range(a + 1, len(idx)):
-            j = idx[b]
-            if (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 < (r[i] + r[j]) ** 2:
-                pairs.append((i, j))
-    return pairs
 
 
 def _loser_update(view: HostView, loser: int, winner_poly: np.ndarray,
@@ -111,9 +95,13 @@ def ridge_raft_pass(
         keep_out = rng.random(view.n) > 0.5 * ov_frac
 
     processed = np.zeros(view.n, bool)  # Ridged/Rafted flags
-    pairs = _candidate_pairs(view, cfg)
+    # Spatial-hash broad phase; shift = minimum-image translation of floe j
+    # (periodic ghosts, floe_interactions_all.m:288-327 operate on the
+    # ghost-extended list in the reference).  ``pairs`` may be supplied by
+    # the caller from the device step's aux neighbor table.
+    pairs = candidate_pairs(view, cfg)
 
-    for i, j in pairs:
+    for i, j, shift in pairs:
         if i < n_b and j < n_b:
             continue
         if keep_out[i] or processed[i] or processed[j]:
@@ -124,7 +112,8 @@ def ridge_raft_pass(
             continue
         if i in edit.reshapes or j in edit.reshapes:
             continue
-        inter = poly_boolean(view.poly(i), view.poly(j), "int")
+        poly_j = view.poly(j) + np.asarray(shift)
+        inter = poly_boolean(view.poly(i), poly_j, "int")
         a_ov = sum(max(poly_area(c), 0.0) for c in inter)
         if a_ov <= 0:
             continue
@@ -162,7 +151,13 @@ def ridge_raft_pass(
             continue
         v = a_ov * h[loser]
         _winner_update(view, winner, v, cfg, edit)
-        _loser_update(view, loser, view.poly(winner), v, cfg, edit)
+        # winner footprint expressed in the LOSER's frame (undo the
+        # minimum-image shift when the loser is the shifted floe j)
+        if winner == i:
+            w_poly = view.poly(i) - np.asarray(shift)
+        else:
+            w_poly = poly_j
+        _loser_update(view, loser, w_poly, v, cfg, edit)
         processed[i] = processed[j] = True
 
     # ---- boundary ridging (ridge.m:70-138) -------------------------------

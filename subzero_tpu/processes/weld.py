@@ -36,38 +36,64 @@ def weld_pass(
     if not live:
         return edit
 
-    # spatial bins (weld.m:30-48)
-    bx = np.clip(((view.x[live] + lx) / (2 * lx / nx)).astype(int), 0, nx - 1)
-    by = np.clip(((view.y[live] + ly) / (2 * ly / ny)).astype(int), 0, ny - 1)
+    # spatial bins (weld.m:30-48).  Entries are (slot, shift): when PERIODIC
+    # a floe crossing +-lx/+-ly also gets minimum-image ghost entries (the
+    # reference builds ghost floes before binning, weld.m via
+    # floe_interactions_all-style ghosts) so seam-straddling pairs weld.
+    entries: list[tuple[int, tuple[float, float]]] = [
+        (i, (0.0, 0.0)) for i in live]
+    if cfg.processes.periodic:
+        for i in live:
+            p = view.poly(i)
+            shifts = []
+            if np.max(np.abs(p[:, 0])) > lx:
+                shifts.append((-2 * lx * np.sign(view.x[i]), 0.0))
+            if np.max(np.abs(p[:, 1])) > ly:
+                shifts.append((0.0, -2 * ly * np.sign(view.y[i])))
+            if len(shifts) == 2:
+                shifts.append((shifts[0][0], shifts[1][1]))
+            entries.extend((i, s) for s in shifts)
+
+    ex = np.array([view.x[i] + s[0] for i, s in entries])
+    ey = np.array([view.y[i] + s[1] for i, s in entries])
+    bx = np.clip(((ex + lx) / (2 * lx / nx)).astype(int), 0, nx - 1)
+    by = np.clip(((ey + ly) / (2 * ly / ny)).astype(int), 0, ny - 1)
     bins: dict[tuple[int, int], list[int]] = {}
-    for k, i in enumerate(live):
-        bins.setdefault((bx[k], by[k]), []).append(i)
+    for k in range(len(entries)):
+        bins.setdefault((int(bx[k]), int(by[k])), []).append(k)
+
+    def spoly(k):
+        i, s = entries[k]
+        return view.poly(i) + np.asarray(s)
 
     fused: set[int] = set()
     for members in bins.values():
-        for ai, i in enumerate(members):
+        for ai, ka in enumerate(members):
+            i, s_i = entries[ka]
             if i in fused or not view.alive[i]:
                 continue
             if view.area[i] >= max_weld_area:
                 continue
             # candidates: later members within bounding circles (weld.m:96-99)
             cands = []
-            for j in members[ai + 1:]:
-                if j in fused or not view.alive[j]:
+            for kb in members[ai + 1:]:
+                j, s_j = entries[kb]
+                if j == i or j in fused or not view.alive[j]:
                     continue
+                if s_i != (0.0, 0.0) and s_j != (0.0, 0.0):
+                    continue        # ghost-ghost pairs: handled via parents
                 if view.area[j] >= max_weld_area:
                     continue
-                d2 = (view.x[i] - view.x[j]) ** 2 + (view.y[i] - view.y[j]) ** 2
-                r = view.rmax[i] + view.rmax[j]
-                if 1.0 < d2 ** 0.5 < r:
-                    cands.append(j)
+                d = np.hypot(ex[ka] - ex[kb], ey[ka] - ey[kb])
+                if 1.0 < d < view.rmax[i] + view.rmax[j]:
+                    cands.append(kb)
             if not cands:
                 continue
             # overlap areas + weld probability (weld.m:102-116)
-            best_j = None
+            best = None
             best_p = None
-            for j in cands:
-                inter = poly_boolean(view.poly(i), view.poly(j), "int")
+            for kb in cands:
+                inter = poly_boolean(spoly(ka), spoly(kb), "int")
                 a_ov = sum(max(poly_area(c), 0.0) for c in inter)
                 if a_ov <= 0:
                     continue
@@ -75,11 +101,11 @@ def weld_pass(
                 if weldp > rng.random():
                     if best_p is None or weldp > best_p:
                         best_p = weldp
-                        best_j = j
-            if best_j is None:
+                        best = kb
+            if best is None:
                 continue
-            j = best_j
-            uni = poly_boolean(view.poly(i), view.poly(j), "uni")
+            j, s_j = entries[best]
+            uni = poly_boolean(spoly(ka), spoly(best), "uni")
             a_uni = sum(max(poly_area(c), 0.0) for c in uni)
             if not (cfg.processes.fuse_min_area < a_uni < a_total / 5):
                 continue
@@ -87,18 +113,24 @@ def weld_pass(
             # chain absorption: neighbors covered >40% by the union
             # (weld.m:134-152)
             absorb = []
-            for k in members:
-                if k in (i, j) or k in fused or not view.alive[k]:
+            overrides = {}
+            for kc in members:
+                k2, s_k = entries[kc]
+                if k2 in (i, j) or k2 in fused or not view.alive[k2]:
                     continue
-                d2 = (view.x[i] - view.x[k]) ** 2 + (view.y[i] - view.y[k]) ** 2
-                if d2 ** 0.5 > view.rmax[i] + view.rmax[j] + view.rmax[k]:
+                d = np.hypot(ex[ka] - ex[kc], ey[ka] - ey[kc])
+                if d > view.rmax[i] + view.rmax[j] + view.rmax[k2]:
                     continue
-                inter = poly_boolean(uni, view.poly(k), "int")
+                inter = poly_boolean(uni, spoly(kc), "int")
                 a_ov = sum(max(poly_area(c), 0.0) for c in inter)
-                if a_ov / view.area[k] > 0.4:
-                    absorb.append(k)
-
-            sub = fuse_floes(view, i, [j] + absorb, cfg)
+                if a_ov / view.area[k2] > 0.4 and k2 not in absorb:
+                    absorb.append(k2)
+                    overrides[k2] = spoly(kc)
+            # fuse in floe i's (entry ka's) frame
+            overrides[i] = spoly(ka)
+            overrides[j] = spoly(best)
+            sub = fuse_floes(view, i, [j] + absorb, cfg,
+                             poly_override=overrides)
             edit.merge(sub)
             fused |= {i, j, *absorb}
     return edit

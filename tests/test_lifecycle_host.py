@@ -1,0 +1,214 @@
+"""Direct tests of the host lifecycle passes added/reworked in round 2:
+periodic-seam ridging and welding (VERDICT item 4), the spatial-hash broad
+phase, corner grinding, simplify, and vectorized slab rebalance."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from subzero_tpu.config import (
+    CapacityConfig, NumericsConfig, ProcessConfig, SimConfig,
+)
+from subzero_tpu.native import poly_area
+from subzero_tpu.processes.host import (
+    apply_edits, candidate_pairs, extract_view,
+)
+from subzero_tpu.processes.ridge_raft import ridge_raft_pass
+from subzero_tpu.processes.weld import weld_pass
+from subzero_tpu.state import state_from_polygons
+
+LX = 1e5
+
+
+def _cfg(periodic=True, **kw):
+    return SimConfig(
+        numerics=NumericsConfig(dtype="float64"),
+        capacity=CapacityConfig(max_floes=64, max_verts=32),
+        processes=ProcessConfig(periodic=periodic, ridging=True),
+        min_floe_size=1e5,
+        **kw,
+    )
+
+
+def _rect(cx, cy, w, h):
+    return np.array([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+                     [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]])
+
+
+def _brute_pairs(view, cfg):
+    lx, ly = cfg.domain.lx, cfg.domain.ly
+    out = set()
+    for i in range(view.n):
+        if not view.alive[i]:
+            continue
+        for j in range(i + 1, view.n):
+            if not view.alive[j]:
+                continue
+            dx = view.x[i] - view.x[j]
+            dy = view.y[i] - view.y[j]
+            if cfg.processes.periodic:
+                dx -= 2 * lx * np.round(dx / (2 * lx))
+                dy -= 2 * ly * np.round(dy / (2 * ly))
+            if dx * dx + dy * dy < (view.rmax[i] + view.rmax[j]) ** 2:
+                out.add((i, j))
+    return out
+
+
+def test_candidate_pairs_matches_bruteforce():
+    """Spatial-hash broad phase finds exactly the bounding-circle pairs,
+    periodic and not."""
+    rng = np.random.default_rng(7)
+    polys = []
+    for _ in range(40):
+        c = rng.uniform(-LX, LX, 2)
+        w = rng.uniform(5e3, 3e4)
+        polys.append(_rect(c[0], c[1], w, w))
+    for periodic in (False, True):
+        cfg = _cfg(periodic=periodic)
+        st = state_from_polygons(polys, 0.5, cfg)
+        view = extract_view(st, cfg)
+        got = {(i, j) for i, j, _ in candidate_pairs(view, cfg)}
+        want = _brute_pairs(view, cfg)
+        # non-periodic must match exactly; periodic may also return extra
+        # images of the same pair (distinct shifts), so compare the set of
+        # unordered pairs
+        assert got == want, f"periodic={periodic}"
+
+
+def test_ridge_across_periodic_seam():
+    """Two thin floes overlapping only across the torus seam must ridge:
+    volume moves from loser to winner (floe_interactions_all.m ghosts +
+    ridge.m)."""
+    a = _rect(-LX + 2e3, 0, 1e4, 1e4)        # near -lx wall
+    b = _rect(+LX - 2e3, 0, 1e4, 1e4)        # near +lx wall
+    # seam images: b's ghost at -lx-2e3 .. -lx+3e3 overlaps a (width 1e3)
+    cfg = _cfg(periodic=True)
+    st = state_from_polygons([a, b], [0.4, 1.0], cfg)
+    view = extract_view(st, cfg)
+    m_before = view.mass[0] + view.mass[1]
+
+    hit = False
+    for seed in range(30):
+        edit = ridge_raft_pass(view, cfg, np.random.default_rng(seed),
+                               "ridge", _rect(0, 0, 2 * LX, 2 * LX))
+        if not edit.empty and (edit.updates or edit.reshapes):
+            hit = True
+            break
+    assert hit, "seam pair never ridged in 30 seeds"
+    # winner thickened
+    assert any("h" in kv and kv["h"] > 1.0 for kv in edit.updates.values()) \
+        or any(kv.get("h", 0) > 0.4 for kv in edit.updates.values())
+    # apply and check mass: ridge conserves total mass (winner gains what
+    # the loser's overlap held)
+    st2 = apply_edits(st, edit, cfg)
+    m_after = float(np.sum(np.where(np.asarray(st2.alive),
+                                    np.asarray(st2.mass), 0.0)))
+    assert np.isclose(m_after, m_before, rtol=1e-6)
+
+
+def test_no_seam_ridge_when_not_periodic():
+    """The same geometry without periodicity must NOT interact."""
+    a = _rect(-LX + 2e3, 0, 1e4, 1e4)
+    b = _rect(+LX - 2e3, 0, 1e4, 1e4)
+    cfg = _cfg(periodic=False)
+    st = state_from_polygons([a, b], [0.4, 1.0], cfg)
+    view = extract_view(st, cfg)
+    for seed in range(10):
+        edit = ridge_raft_pass(view, cfg, np.random.default_rng(seed),
+                               "ridge", _rect(0, 0, 2 * LX, 2 * LX))
+        assert not edit.updates, "no seam pair should exist"
+
+
+def test_weld_across_periodic_seam():
+    """Two floes overlapping across the seam weld into one mass-conserving
+    floe (weld.m ghost binning)."""
+    a = _rect(-LX + 2e3, 0, 1e4, 1e4)
+    b = _rect(+LX - 2e3, 0, 1e4, 1e4)
+    # background floes keep the union below the 1/5-total-area gate
+    # (weld.m:118)
+    bg = [_rect(-5e4 + 1.4e4 * k, 6e4, 1e4, 1e4) for k in range(8)]
+    cfg = _cfg(periodic=True)
+    st = state_from_polygons([a, b] + bg, 0.5, cfg)
+    view = extract_view(st, cfg)
+    m_before = view.mass[0] + view.mass[1]
+
+    hit = None
+    for seed in range(30):
+        edit = weld_pass(view, cfg, np.random.default_rng(seed),
+                         nx=1, ny=1, max_weld_area=1e9)
+        if edit.new_floes:
+            hit = edit
+            break
+    assert hit is not None, "seam pair never welded in 30 seeds"
+    assert hit.kills == {0, 1}
+    m_new = sum(nf.mass for nf in hit.new_floes)
+    assert np.isclose(m_new, m_before, rtol=1e-9)
+    # the union spans the seam: both parents' area, seam overlap (6 km x
+    # 10 km) counted once
+    a_new = sum(abs(poly_area(nf.poly)) for nf in hit.new_floes)
+    assert np.isclose(a_new, 2 * 1e8 - 6e3 * 1e4, rtol=1e-6)
+
+
+def test_corners_pass_direct():
+    """Corner grinding: a flagged sharp corner in contact is cut; the
+    triangle becomes a new floe; mass shares sum to the parent's
+    (frac_corner.m)."""
+    from subzero_tpu.processes.corners import corners_pass
+
+    cfg = _cfg(periodic=False)
+    # a W-shaped floe with two sharp (53 deg) spikes; grinding requires
+    # MORE than one vertex flagged-and-broken (corners.m:91-94
+    # ``sum(grind)>1``), so the neighbor covers both spikes
+    poly = np.array([[0, 0], [2e4, 0], [2.6e4, 2.6e4], [1e4, 1.9e4],
+                     [-0.6e4, 2.6e4]], float)
+    nbr = _rect(1e4, 2.7e4, 4e4, 1e4)
+    st = state_from_polygons([poly, nbr], 0.5, cfg)
+    view = extract_view(st, cfg)
+    m0 = view.mass[0]
+
+    got = None
+    for seed in range(50):
+        edit = corners_pass(
+            view, cfg, np.random.default_rng(seed),
+            contact_points={0: np.array([[1e4, 3.1e4]])},
+            contact_nbrs={0: [1]},
+            touching_boundary=np.zeros(view.n, bool),
+            domain_poly=_rect(0, 0, 2 * LX, 2 * LX),
+        )
+        if 0 in edit.kills and len(edit.new_floes) >= 1:
+            got = edit
+            break
+    assert got is not None, "corner never ground in 50 seeds"
+    m_new = sum(nf.mass for nf in got.new_floes)
+    # pieces below 1e4 m^2 dissolve (frac_corner.m:113-115) so allow <=
+    assert m_new <= m0 * (1 + 1e-9)
+    assert m_new > 0.5 * m0
+
+
+def test_rebalance_slabs_vectorized():
+    """Floes end up in the slab owning their centroid, all fields moved."""
+    from subzero_tpu.parallel.spatial import rebalance_slabs
+
+    cfg = SimConfig(
+        numerics=NumericsConfig(dtype="float64"),
+        capacity=CapacityConfig(max_floes=32, max_verts=16),
+    )
+    rng = np.random.default_rng(0)
+    polys = [_rect(x, 0, 5e3, 5e3)
+             for x in rng.uniform(-0.9e5, 0.9e5, 12)]
+    st = state_from_polygons(polys, 0.5, cfg)
+    st2 = rebalance_slabs(st, cfg, n_shards=4)
+    x = np.asarray(st2.x)
+    alive = np.asarray(st2.alive)
+    mass2 = np.asarray(st2.mass)
+    assert alive.sum() == 12
+    n_loc = 32 // 4
+    w = 2 * cfg.domain.lx / 4
+    for i in np.nonzero(alive)[0]:
+        slab = i // n_loc
+        owner = int(np.clip((x[i] + cfg.domain.lx) // w, 0, 3))
+        assert owner == slab
+    # masses preserved as a multiset
+    m1 = np.sort(np.asarray(st.mass)[np.asarray(st.alive)])
+    m2 = np.sort(mass2[alive])
+    assert np.allclose(m1, m2)
