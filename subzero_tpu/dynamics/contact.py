@@ -223,13 +223,14 @@ def contact_forces(
     shear_g = modulus / (2.0 * (1.0 + phys.nu_poisson))
 
     # Small-region cull threshold Amin = min(N1,N2)*100/1.75
-    # (floe_interactions.m:78-83); vertex counts default to the padded cap.
-    vcap_i = verts_world.shape[1]
-    nv_i = (jnp.full((n,), vcap_i, jnp.int32) if nv is None else nv)
-    nv_j = (jnp.full((verts_s.shape[0],), verts_s.shape[1], jnp.int32)
-            if nv_s is None else nv_s)
-    amin = (jnp.minimum(nv_i[:, None], nv_j[nbr.idx]).astype(dtype)
-            * cfg.contact.small_region_coeff)
+    # (floe_interactions.m:78-83).  The threshold needs the TRUE vertex
+    # counts; when the caller doesn't supply them the cull is disabled
+    # (padded caps would over-cull).
+    if nv is None or nv_s is None:
+        amin = jnp.zeros((n, k), dtype)
+    else:
+        amin = (jnp.minimum(nv[:, None], nv_s[nbr.idx]).astype(dtype)
+                * cfg.contact.small_region_coeff)
 
     # Merge gate (floe_interactions.m:54): floe i fully inside the domain
     # bbox OR the neighbor smaller than 95% of the domain OR periodic.
@@ -338,10 +339,13 @@ def boundary_contact(
     chx, chy = st.chord_p[..., 0], st.chord_p[..., 1]
     dl = jnp.sqrt(chx * chx + chy * chy)
     inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
-    # Small-region cull with N2 = 4 (the rectangular wall polygon).
-    nv_i = (jnp.full((n,), verts_world.shape[1], x.dtype)
-            if nv is None else nv.astype(x.dtype))
-    amin = jnp.minimum(nv_i, 4.0) * cfg.contact.small_region_coeff
+    # Small-region cull with N2 = 4 (the rectangular wall polygon);
+    # disabled when the caller doesn't supply true vertex counts.
+    if nv is None:
+        amin = jnp.zeros((n,), x.dtype)
+    else:
+        amin = jnp.minimum(nv.astype(x.dtype), 4.0) \
+            * cfg.contact.small_region_coeff
     ok = (st.n_cross >= cfg.contact.min_crossings) \
         & (dl >= cfg.contact.min_chord) & (ar > 0) & (ar >= amin)
     fn_norm = ar * ff
