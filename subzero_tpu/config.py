@@ -109,6 +109,14 @@ class ProcessConfig:
     corners: bool = True
     packing: bool = False
     keep_min: bool = False          # keep floes below min_floe_size
+    # Thickness-growth-rate flag: welding fires only when dhdt > 0
+    # ("freezing conditions", Subzero.m:318 `WELDING && ... && dhdt > 0`;
+    # both reference configs set dhdt = 1).
+    dhdt: float = 1.0
+    # AVERAGE flag (Subzero.m:230-247,304-314): accumulate Eulerian fields
+    # between outputs and emit the time mean instead of the instantaneous
+    # snapshot.
+    average: bool = False
 
     # Cadences, in steps
     n_dt_out: int = 150             # snapshot/diagnostics output

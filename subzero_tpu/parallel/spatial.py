@@ -295,8 +295,12 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
     )
 
     @jax.jit
-    def step(state: FloeState, step_idx):
-        return sharded(state, step_idx, forcing, domain_verts)
+    def step(state: FloeState, step_idx, domain=None):
+        """``domain``: runtime domain polygon override (moving walls —
+        the uniaxial case closes the y-walls while the x-stripe
+        decomposition stays fixed)."""
+        dom = domain_verts if domain is None else domain
+        return sharded(state, step_idx, forcing, dom)
 
     return step
 

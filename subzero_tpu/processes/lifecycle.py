@@ -106,6 +106,11 @@ class Lifecycle:
                 view, edit, lambda v: self._corners(v, aux)))
 
         if weld_due:
+            # running Amax update (Subzero.m:321-323)
+            cur_max = float(np.max(np.where(view.alive, view.area, 0.0)))
+            if cur_max > self.amax:
+                self.amax = cur_max
+                weld_due = weld_schedule(step_idx, cfg, self.amax)
             wnx, wny, wmax = weld_due
             edit.merge(self._guarded(view, edit, lambda v: weld_pass(
                 v, cfg, self.rng, wnx, wny, wmax)))

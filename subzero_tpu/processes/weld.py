@@ -137,15 +137,20 @@ def weld_pass(
 
 
 def weld_schedule(step_idx: int, cfg: SimConfig, amax: float):
-    """Which weld scale fires at this step (Subzero.m:317-330)?
+    """Which weld scale fires at this step (Subzero.m:318-330)?
 
-    Returns (nx, ny, max_weld_area) or None.  amax = max floe area at t=0.
+    Returns (nx, ny, max_weld_area) or None.  amax = running max floe area
+    (the driver keeps raising it, Subzero.m:321-323).  Scale map per the
+    reference: 5000 steps -> 1x1 bins with Amax/2; 500 -> 2x2 with Amax/3;
+    25 -> 3x3 with Amax/3.
     """
     p = cfg.processes
+    if p.dhdt <= 0:          # freezing gate (Subzero.m:318)
+        return None
     if step_idx % p.n_weld_coarse == 0:
-        return 1, 1, amax
+        return 1, 1, amax / 2
     if step_idx % p.n_weld_mid == 0:
-        return 2, 2, amax / 2
+        return 2, 2, amax / 3
     if step_idx % p.n_weld == 0:
         return 3, 3, amax / 3
     return None

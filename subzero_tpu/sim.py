@@ -43,6 +43,15 @@ class Simulation:
     dissolved: np.ndarray | None = None
     seed: int = 0
     pack_target: float = 1.0
+    # Automatic output cadence (Subzero.m:220-298): when set, every
+    # cfg.processes.n_dt_out steps the driver writes a full-state snapshot +
+    # Eulerian fields (+ a figure when ``plot_output``) under this directory
+    # and appends to the total-mass series.  With cfg.processes.average the
+    # Eulerian fields are the time mean since the previous output
+    # (accumulated at chunk boundaries, i.e. a 5-step-stride sampling of the
+    # reference's every-step accumulation at Subzero.m:304-314).
+    output_dir: "str | Path | None" = None
+    plot_output: bool = False
     # moving walls (uniaxial case): step_idx -> (lx, ly) of the domain box
     wall_fn: "Callable[[int], tuple[float, float]] | None" = None
     # multi-device: a jax.sharding.Mesh with axis "shards" switches the
@@ -82,8 +91,6 @@ class Simulation:
         if self.mesh is not None:
             from .parallel import make_spatial_step, rebalance_slabs, shard_state
 
-            assert self.wall_fn is None, \
-                "moving walls are not supported with spatial sharding yet"
             self._spatial_step = make_spatial_step(
                 cfg, self.forcing, modulus, heat_flux, self.mesh)
             n_shards = int(np.prod(self.mesh.devices.shape))
@@ -103,9 +110,9 @@ class Simulation:
                 def do(args):
                     st, dis = args
                     if self.mesh is not None:
-                        st2, aux = self._spatial_step.__wrapped__(st, idx) \
-                            if hasattr(self._spatial_step, "__wrapped__") \
-                            else self._spatial_step(st, idx)
+                        fn = getattr(self._spatial_step, "__wrapped__",
+                                     self._spatial_step)
+                        st2, aux = fn(st, idx, domain_verts)
                     else:
                         st2, aux = physics_step(
                             st, self.forcing, idx, domain_verts, modulus,
@@ -170,6 +177,8 @@ class Simulation:
                     rebalance_slabs(self.state, self.cfg, self._n_shards),
                     self.mesh)
             dissolved = jnp.asarray(dis_np, self.state.x.dtype)
+            if self.output_dir is not None:
+                self._auto_output()
             if on_chunk is not None:
                 on_chunk(self, auxes)
             if log_every and (self.step_idx % log_every == 0):
@@ -182,6 +191,56 @@ class Simulation:
                 )
         self.dissolved = np.asarray(dissolved)
         return self
+
+    # -- automatic output (Subzero.m:220-298) --------------------------------
+
+    def _auto_output(self) -> None:
+        """Accumulate AVERAGE fields each chunk; every n_dt_out steps write
+        snapshot + Eulerian fields (+ figure) and append the mass series."""
+        n_out = self.cfg.processes.n_dt_out
+        if self.cfg.processes.average:
+            eul = {k: np.asarray(v) for k, v in self.eulerian()._asdict().items()}
+            acc = getattr(self, "_eul_acc", None)
+            if acc is None:
+                self._eul_acc = eul
+                self._eul_n = 1
+            else:
+                for k in acc:
+                    acc[k] = acc[k] + eul[k]
+                self._eul_n += 1
+        if self.step_idx % n_out != 0:
+            return
+        out = Path(self.output_dir)
+        snap = out / f"snap{self.step_idx:07d}"
+        self.save(snap)
+        if self.cfg.processes.average and getattr(self, "_eul_acc", None):
+            eul = {k: v / self._eul_n for k, v in self._eul_acc.items()}
+            self._eul_acc = None
+        else:
+            eul = {k: np.asarray(v)
+                   for k, v in self.eulerian()._asdict().items()}
+        np.savez_compressed(snap / "eulerian.npz", **eul)
+        # total-mass series (Subzero.m:294-295)
+        series = getattr(self, "_mass_series", [])
+        series.append((self.step_idx, self.total_mass(),
+                       float(np.sum(self.dissolved if self.dissolved
+                                    is not None else 0.0))))
+        self._mass_series = series
+        np.save(out / "mass_series.npy", np.asarray(series))
+        if self.plot_output:
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                from .plotting import plot_basic
+
+                fig = plot_basic(self.state, self.cfg, self.forcing)
+                fig.savefig(out / f"fig{self.step_idx:07d}.png", dpi=110)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+            except Exception as e:  # plotting must never kill a run
+                print(f"[sim] plot failed: {e}")
 
     # -- observability -----------------------------------------------------
     # (SURVEY.md section 5: the reference has only tic/toc prints; here a

@@ -147,12 +147,15 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
 
 
 def winter_sim(n_floes: int = 100, seed: int = 0) -> Simulation:
-    """Winter equilibration: all processes on, freezing ocean
-    (winter.tar.gz configuration per SURVEY.md section 6)."""
+    """Winter equilibration: all processes on, freezing ocean, doubly
+    periodic, small floes kept (winter.tar.gz -> winter/Subzero.m:5-22:
+    PERIODIC=true, KEEP_MIN=true, all process flags true, nDTpack=5500,
+    100 floes, Lx=Ly=1e5, dt=10, winds=0)."""
     cfg = SimConfig(
         processes=ProcessConfig(
             collision=True, fractures=True, corners=True, welding=True,
-            ridging=True, rafting=True, packing=True, keep_min=False,
+            ridging=True, rafting=True, packing=True,
+            periodic=True, keep_min=True,
             n_pack=5500,
         ),
         numerics=NumericsConfig(dt=10.0),

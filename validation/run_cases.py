@@ -1,0 +1,161 @@
+"""Run the reference validation cases end-to-end and record results.
+
+Produces, per case, under validation/out/<case>/:
+  * fig*.png          floe-field figures at the output cadence
+  * mass_series.npy   (step, floe mass, dissolved mass) ledger
+  * snap*/            full-state snapshots + Eulerian fields
+and a summary block appended to validation/RESULTS.md.
+
+Cases (README.md "Validation Cases" + winter.tar.gz):
+  out_of_box : ~10 floes, 4-gyre ocean, collisions (7500 steps out-of-box;
+               configurable)
+  uniaxial   : 200 floes, N/S walls closing to 85 km, Mohr-Coulomb fracture
+  nares      : 150 floes, 10 m/s southward wind through the strait
+  winter     : 100 floes, all processes, PERIODIC + KEEP_MIN, freezing
+
+Usage: python validation/run_cases.py [case ...] [--steps N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+ROOT = Path(__file__).resolve().parent
+OUT = ROOT / "out"
+
+
+def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
+    from subzero_tpu.validation import (
+        floe_size_distribution, ice_thickness_distribution,
+    )
+
+    alive = np.asarray(sim.state.alive)
+    mass_floes = float(np.sum(np.where(alive, np.asarray(sim.state.mass),
+                                       0.0)))
+    mass_dissolved = float(np.sum(sim.dissolved))
+    fsd, fsd_edges = floe_size_distribution(sim.state)
+    itd, itd_edges = ice_thickness_distribution(sim.state)
+    np.savez(OUT / name / "distributions.npz", fsd=fsd, fsd_edges=fsd_edges,
+             itd=itd, itd_edges=itd_edges)
+    lines = [
+        f"\n## {name} ({time.strftime('%Y-%m-%d')})\n",
+        f"- steps: {sim.step_idx}, wall: {t_wall:.0f} s "
+        f"({sim.step_idx / max(t_wall, 1e-9):.2f} steps/s, CPU)",
+        f"- live floes: {int(alive.sum())}",
+        f"- floe mass: {mass_floes:.4e} kg; dissolved: "
+        f"{mass_dissolved:.4e} kg",
+    ]
+    if extra:
+        lines += [f"- {k}: {v}" for k, v in extra.items()]
+    with open(ROOT / "RESULTS.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def run_out_of_box(steps: int):
+    from subzero_tpu.sim import out_of_box_sim
+
+    sim = out_of_box_sim(seed=0, n_floes=10)
+    sim.output_dir = OUT / "out_of_box"
+    sim.plot_output = True
+    m0 = sim.total_mass()
+    t0 = time.time()
+    sim.run(steps, log_every=500)
+    _summarize("out_of_box", sim, time.time() - t0, {
+        "mass drift (floes + dissolved vs t0)":
+            f"{(sim.total_mass() + float(np.sum(sim.dissolved)) - m0) / m0:.3e}",
+    })
+
+
+def run_uniaxial(steps: int):
+    from subzero_tpu.validation import uniaxial_sim
+
+    sim = uniaxial_sim(n_floes=200, seed=0)
+    sim.output_dir = OUT / "uniaxial"
+    sim.plot_output = True
+    n0 = int(np.asarray(sim.state.alive).sum())
+    t0 = time.time()
+    sim.run(steps, log_every=500)
+    n1 = int(np.asarray(sim.state.alive).sum())
+    ly = sim.wall_fn(sim.step_idx)[1]
+    _summarize("uniaxial", sim, time.time() - t0, {
+        "wall position Ly": f"{ly/1e3:.1f} km (target 85 km)",
+        "floes (fracture grows count)": f"{n0} -> {n1}",
+        "max principal stress [Pa]":
+            f"{float(np.max(np.asarray(sim.state.stress))):.3e}",
+    })
+
+
+def run_nares(steps: int):
+    from subzero_tpu.validation import nares_sim
+
+    sim = nares_sim(n_floes=150, seed=0)
+    sim.output_dir = OUT / "nares"
+    sim.plot_output = True
+    y0 = np.asarray(sim.state.y).copy()
+    alive0 = np.asarray(sim.state.alive).copy()
+    nb = sim.cfg.n_boundary
+    t0 = time.time()
+    sim.run(steps, log_every=500)
+    y1 = np.asarray(sim.state.y)
+    alive1 = np.asarray(sim.state.alive)
+    moved = (y1 - y0)[alive0 & alive1]
+    exported = int(alive0[nb:].sum() - alive1[nb:].sum())
+    _summarize("nares", sim, time.time() - t0, {
+        "mean southward drift": f"{float(np.mean(moved)):.1f} m",
+        "floes exported/killed at the south boundary": exported,
+    })
+
+
+def run_winter(steps: int):
+    from subzero_tpu.validation import winter_sim
+
+    sim = winter_sim(n_floes=100, seed=0)
+    sim.output_dir = OUT / "winter"
+    sim.plot_output = True
+    m0 = sim.total_mass()
+    h0 = float(np.mean(np.asarray(sim.state.h)[np.asarray(sim.state.alive)]))
+    t0 = time.time()
+    sim.run(steps, log_every=250)
+    alive = np.asarray(sim.state.alive)
+    h1 = float(np.mean(np.asarray(sim.state.h)[alive]))
+    _summarize("winter", sim, time.time() - t0, {
+        "mean thickness": f"{h0:.3f} -> {h1:.3f} m (freezing: must grow)",
+        "mass (floes+dissolved)/m0":
+            f"{(sim.total_mass() + float(np.sum(sim.dissolved))) / m0:.4f} "
+            "(>1: thermodynamic growth adds mass)",
+    })
+
+
+CASES = {
+    "out_of_box": run_out_of_box,
+    "uniaxial": run_uniaxial,
+    "nares": run_nares,
+    "winter": run_winter,
+}
+
+DEFAULT_STEPS = {
+    "out_of_box": 7500, "uniaxial": 6000, "nares": 3000, "winter": 1500,
+}
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps_override = None
+    for a in sys.argv[1:]:
+        if a.startswith("--steps"):
+            steps_override = int(a.split("=")[1])
+    names = args or list(CASES)
+    OUT.mkdir(exist_ok=True)
+    for name in names:
+        (OUT / name).mkdir(exist_ok=True, parents=True)
+        CASES[name](steps_override or DEFAULT_STEPS[name])
