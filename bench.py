@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 N_FLOES = int(os.environ.get("BENCH_FLOES", 10240))
+IMPL = os.environ.get("BENCH_IMPL", "integral")   # integral | pallas | xla
 N_SERIAL = int(os.environ.get("BENCH_SERIAL_FLOES", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 SERIAL_STEPS = int(os.environ.get("BENCH_SERIAL_STEPS", 5))
@@ -43,7 +44,7 @@ def _enable_compile_cache():
         pass
 
 
-def build(n_floes: int, dtype: str = "float32"):
+def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
     import jax.numpy as jnp
 
     from subzero_tpu import SimConfig
@@ -58,12 +59,14 @@ def build(n_floes: int, dtype: str = "float32"):
     side = int(np.ceil(np.sqrt(n_floes)))
     pitch = 4000.0
     lx = side * pitch / 2
+    # cap_factor > 1 leaves free slots (spatial rebalance headroom)
+    cap = int(np.ceil(n_floes * cap_factor / 8)) * 8
     cfg = SimConfig(
         capacity=CapacityConfig(
-            max_floes=n_floes, max_verts=16, max_neighbors=8,
+            max_floes=cap, max_verts=16, max_neighbors=8,
             n_mc_points=256, stress_window=100,
         ),
-        numerics=NumericsConfig(dtype=dtype),
+        numerics=NumericsConfig(dtype=dtype, contact_impl=IMPL),
         domain=DomainConfig(lx=lx, ly=lx),
         processes=ProcessConfig(periodic=True),
     )
@@ -149,6 +152,7 @@ def main():
 
     out = {
         "metric": f"floe-steps/s/chip@{N_FLOES}",
+        "impl": IMPL,
         "value": round(rate, 1),
         "unit": "floe-steps/s",
         "vs_baseline": (round(rate / serial_rate, 2)

@@ -46,7 +46,7 @@ def build(n_floes):
         "bench", Path(__file__).resolve().parent.parent / "bench.py")
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    return bench.build(n_floes)
+    return bench.build(n_floes, cap_factor=1.5)
 
 
 def measure_single(n_floes):

@@ -83,6 +83,11 @@ def run_uniaxial(steps: int):
     sim = uniaxial_sim(n_floes=200, seed=0)
     sim.output_dir = OUT / "uniaxial"
     sim.plot_output = True
+    # The reference closes the walls 15 m / 30 steps -> 30000 steps to reach
+    # 85 km.  Within this CPU budget the closure rate is scaled so the walls
+    # reach 85 km by the end of the run (documented acceleration).
+    rate = max(15.0, (1e5 - 8.5e4) / max(steps // 30, 1))
+    sim.wall_fn = lambda s: (1e5, max(1e5 - rate * (s // 30), 8.5e4))
     n0 = int(np.asarray(sim.state.alive).sum())
     t0 = time.time()
     sim.run(steps, log_every=500)
