@@ -212,3 +212,72 @@ def test_rebalance_slabs_vectorized():
     m1 = np.sort(np.asarray(st.mass)[np.asarray(st.alive)])
     m2 = np.sort(mass2[alive])
     assert np.allclose(m1, m2)
+
+
+def test_simplify_pass_direct():
+    """simplify_pass reduces vertex count, conserves area (rescale about
+    the centroid, FloeSimplify.m:40,56) and fuses neighbors covered >40%
+    (FloeSimplify.m:72-101)."""
+    import dataclasses
+
+    from subzero_tpu.processes.simplify import simplify_pass
+
+    cfg = _cfg(periodic=False)
+    # lower the trigger (Subzero.m:185 caps at 30) so the 30-gon qualifies
+    cfg = cfg.replace(processes=dataclasses.replace(
+        cfg.processes, simplify_max_verts=20))
+    # a square whose edges are subdivided into nearly-collinear vertices
+    # (deviation ~5 m << the 0.001*span Douglas-Peucker tolerance)
+    sq = _rect(0, 0, 4e4, 4e4)
+    rng = np.random.default_rng(1)
+    pts = []
+    for k in range(4):
+        a, b = sq[k], sq[(k + 1) % 4]
+        for t in np.linspace(0, 1, 8, endpoint=False):
+            p = a + t * (b - a)
+            n = (b - a)[::-1] * [1, -1] / np.linalg.norm(b - a)
+            pts.append(p + n * rng.uniform(-5, 5))
+    wiggly = np.asarray(pts)            # 32 -> fits the cap
+    st = state_from_polygons([wiggly], 0.5, cfg)
+    view = extract_view(st, cfg)
+    a0 = view.area[0]
+    m0 = view.mass[0]
+
+    edit = simplify_pass(view, cfg, [])
+    assert 0 in edit.reshapes
+    new_poly, new_mass = edit.reshapes[0]
+    assert len(new_poly) <= 20 or len(new_poly) < 30
+    assert np.isclose(abs(poly_area(new_poly)), a0, rtol=2e-3)
+    assert np.isclose(new_mass, m0, rtol=1e-9)
+
+
+def test_lifecycle_dissolved_ledger():
+    """Lifecycle merge/dissolve bookkeeping: a dissolve-kill moves exactly
+    the floe's mass into the dissolved grid; fusion kills don't
+    (calc_dissolved_mass.m + floe_interactions_all.m:470-501)."""
+    from subzero_tpu.processes.host import StateEdit, apply_edits
+
+    cfg = _cfg(periodic=False)
+    small = _rect(0, 0, 3e3, 3e3)          # below min_floe_size=1e5? 9e6>1e5
+    big = _rect(4e4, 0, 2e4, 2e4)
+    st = state_from_polygons([small, big], 0.5, cfg)
+    view = extract_view(st, cfg)
+    m_small = float(view.mass[0])
+
+    from subzero_tpu.processes.lifecycle import Lifecycle
+    lc = Lifecycle(cfg, _rect(0, 0, 2 * LX, 2 * LX), seed=0, amax=1e9)
+    dissolved = np.zeros((4, 4))
+    edit = StateEdit()
+    edit.dissolve_kills.add(0)
+    for i in edit.dissolve_kills:
+        dissolved = lc._bin_mass(dissolved, view.x[i], view.y[i],
+                                 view.mass[i])
+    st2 = apply_edits(st, edit, cfg)
+    assert not bool(np.asarray(st2.alive)[0])
+    assert np.isclose(dissolved.sum(), m_small)
+    # total (floes + dissolved) conserved
+    m_after = float(np.sum(np.where(np.asarray(st2.alive),
+                                    np.asarray(st2.mass), 0.0)))
+    m_before = float(np.sum(np.where(np.asarray(st.alive),
+                                     np.asarray(st.mass), 0.0)))
+    assert np.isclose(m_after + dissolved.sum(), m_before)
