@@ -50,6 +50,30 @@ class HostView:
             raise ValueError(f"slot {i} is dead")
         return p
 
+    def masked(self, dead_slots=None, keep_mask=None):
+        """Scoped view with some slots hidden (alive=False): exception-safe
+        replacement for the save/mutate/restore pattern.  ``dead_slots``:
+        iterable of slots to hide; ``keep_mask``: [N] bool of slots to keep.
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            saved = self.alive
+            masked = saved.copy()
+            if dead_slots is not None:
+                for i in dead_slots:
+                    masked[i] = False
+            if keep_mask is not None:
+                masked &= keep_mask
+            self.alive = masked
+            try:
+                yield self
+            finally:
+                self.alive = saved
+
+        return cm()
+
 
 def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
     alive = np.asarray(state.alive)

@@ -138,16 +138,12 @@ class Lifecycle:
     # ------------------------------------------------------------------
 
     def _guarded(self, view, edit: StateEdit, fn) -> StateEdit:
-        """Run a pass, masking out slots already touched by earlier edits."""
+        """Run a pass with slots already touched by earlier edits hidden."""
         touched = edit.kills | edit.dissolve_kills | set(edit.reshapes)
-        if touched:
-            saved = view.alive.copy()
-            for i in touched:
-                view.alive[i] = False
-            out = fn(view)
-            view.alive = saved
-            return out
-        return fn(view)
+        if not touched:
+            return fn(view)
+        with view.masked(dead_slots=touched):
+            return fn(view)
 
     def _merges_from_aux(self, view, aux, edit: StateEdit) -> None:
         """overlap>0.55 fusion kills: the flagged floe is absorbed into its
@@ -213,13 +209,9 @@ class Lifecycle:
                     [px[i, ks], py[i, ks]], axis=1)
                 contact_nbrs[i] = [int(j) for j in nbr[i, ks]]
         touching = bnd & eligible
-        sub_view_alive = view.alive & eligible
-        saved = view.alive
-        view.alive = sub_view_alive
-        out = corners_pass(view, cfg, self.rng, contact_points,
-                           contact_nbrs, touching, self.domain_poly)
-        view.alive = saved
-        return out
+        with view.masked(keep_mask=eligible):
+            return corners_pass(view, cfg, self.rng, contact_points,
+                                contact_nbrs, touching, self.domain_poly)
 
     def _bin_mass(self, dissolved: np.ndarray, x: float, y: float,
                   mass: float) -> np.ndarray:
