@@ -253,9 +253,12 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         state, mig_of = _migrate(state, go_right, go_left, n_ghost,
                                  n_shards, periodic)
 
-        n_collisions = (jnp.sum(f_valid.astype(jnp.int32)) // 2
-                        + jnp.sum(b_valid.astype(jnp.int32))).astype(jnp.int32)
-        n_collisions = jax.lax.psum(n_collisions, AXIS)
+        # global sum FIRST, then halve: a cross-shard pair contributes one
+        # endpoint to each of two shards (local //2 would drop it)
+        n_collisions = (
+            jax.lax.psum(jnp.sum(f_valid.astype(jnp.int32)), AXIS) // 2
+            + jax.lax.psum(jnp.sum(b_valid.astype(jnp.int32)), AXIS)
+        ).astype(jnp.int32)
 
         aux = StepAux(
             n_collisions=n_collisions,
@@ -306,7 +309,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
 
 
 def _migrate(state: FloeState, go_right, go_left, cap: int, n_shards: int,
-             periodic: bool):
+             periodic: bool, axis: str = AXIS):
     """Transfer out-of-stripe floes to ring neighbors into free slots."""
     fields = [f.name for f in __import__("dataclasses").fields(FloeState)]
 
@@ -324,9 +327,9 @@ def _migrate(state: FloeState, go_right, go_left, cap: int, n_shards: int,
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     in_l = jax.tree_util.tree_map(
-        lambda a: jax.lax.ppermute(a, AXIS, fwd), pay_r)
+        lambda a: jax.lax.ppermute(a, axis, fwd), pay_r)
     in_r = jax.tree_util.tree_map(
-        lambda a: jax.lax.ppermute(a, AXIS, bwd), pay_l)
+        lambda a: jax.lax.ppermute(a, axis, bwd), pay_l)
 
     incoming = jax.tree_util.tree_map(
         lambda a, b: jnp.concatenate([a, b]), in_l, in_r)
