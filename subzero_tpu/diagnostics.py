@@ -102,6 +102,28 @@ def _floe_cell_areas(state: FloeState, cells, centers, cfg: SimConfig):
     return jnp.where(near, areas, 0.0)
 
 
+def _boundary_union_cell_areas(state: FloeState, cfg: SimConfig, cells,
+                               n_b: int) -> jnp.ndarray:
+    """Exact area of (union of boundary floes) ∩ cell, [C], host-side
+    (calc_eulerian_data.m:144-149)."""
+    from .native import poly_area, poly_boolean, union_all
+
+    nv = np.asarray(state.nv)[:n_b]
+    verts = np.asarray(state.verts_world())[:n_b]
+    alive = np.asarray(state.alive)[:n_b]
+    polys = [verts[i, : nv[i]].astype(np.float64)
+             for i in range(n_b) if alive[i] and nv[i] >= 3]
+    cells_np = np.asarray(cells)
+    out = np.zeros(cells_np.shape[0])
+    if polys:
+        uni = union_all(polys)
+        for c in range(cells_np.shape[0]):
+            for contour in uni:
+                inter = poly_boolean(contour, cells_np[c], "int")
+                out[c] += sum(poly_area(r) for r in inter)
+    return jnp.asarray(out, state.x.dtype)
+
+
 def eulerian_data(state: FloeState, cfg: SimConfig, nx: int = 10,
                   ny: int = 10) -> EulerianData:
     """Mass-weighted coarse averages (calc_eulerian_data.m:136-187)."""
@@ -119,8 +141,20 @@ def eulerian_data(state: FloeState, cfg: SimConfig, nx: int = 10,
     atot = jnp.sum(a_floe, axis=0)
     denom = jnp.where(mtot > 0, mtot, 1.0)
 
-    # cell area minus boundary-floe coverage (approximate union)
-    eff_cell_area = jnp.maximum(cell_area - jnp.sum(a_bound, axis=0), 1e-12)
+    # Cell area minus the boundary-floe UNION (calc_eulerian_data.m:144-149
+    # subtracts the union polygon).  Boundary floes are static, so the exact
+    # union∩cell areas are computed host-side with the native engine; when
+    # called under a trace (no concrete values) the per-floe sum is used as
+    # the fallback (first-order: double-subtracts boundary overlaps).
+    if n_b > 0:
+        try:
+            b_union = _boundary_union_cell_areas(state, cfg, cells, n_b)
+            eff_cell_area = jnp.maximum(cell_area - b_union, 1e-12)
+        except jax.errors.TracerArrayConversionError:
+            eff_cell_area = jnp.maximum(
+                cell_area - jnp.sum(a_bound, axis=0), 1e-12)
+    else:
+        eff_cell_area = jnp.asarray(cell_area, areas.dtype)
 
     def avg(field):
         return jnp.sum(w * field[:, None], axis=0) / denom

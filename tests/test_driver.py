@@ -80,3 +80,27 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b, rtol=0, atol=0,
                                    err_msg=f"field {field} diverged")
     np.testing.assert_allclose(sim_a.dissolved, sim_b.dissolved)
+
+
+def test_eulerian_boundary_union():
+    """Overlapping boundary floes are subtracted from the cell area as a
+    UNION, not per-floe (calc_eulerian_data.m:144-149; VERDICT round-1
+    weak #7)."""
+    from subzero_tpu.config import CapacityConfig, NumericsConfig
+    from subzero_tpu.diagnostics import (
+        _boundary_union_cell_areas, cell_grid,
+    )
+    from subzero_tpu.state import state_from_polygons
+
+    cfg = SimConfig(numerics=NumericsConfig(dtype="float64"),
+                    capacity=CapacityConfig(max_floes=8, max_verts=16),
+                    n_boundary=2)
+    b1 = np.array([[-9e4, -9e4], [-5e4, -9e4], [-5e4, -5e4], [-9e4, -5e4]],
+                  float)
+    b2 = b1 + [2e4, 0]              # overlaps b1 by 2e4 x 4e4
+    fl = np.array([[0, 0], [2e4, 0], [2e4, 2e4], [0, 2e4]], float)
+    st = state_from_polygons([b1, b2, fl], 1.0, cfg)
+    cells, _, _ = cell_grid(cfg, 2, 2)
+    bu = np.asarray(_boundary_union_cell_areas(st, cfg, cells, 2))
+    # union = 2*(4e4)^2 - 2e4*4e4 = 2.4e9 (per-floe sum would be 3.2e9)
+    assert abs(bu.reshape(2, 2)[1, 0] - 2.4e9) < 1e3
