@@ -27,6 +27,9 @@ import numpy as np
 
 N_FLOES = int(os.environ.get("BENCH_FLOES", 10240))
 IMPL = os.environ.get("BENCH_IMPL", "integral")   # integral | pallas | xla
+# per-region contacts are the production default (reference-exact physics);
+# BENCH_PER_REGION=0 measures the aggregate-contact mode (~13% faster)
+PER_REGION = os.environ.get("BENCH_PER_REGION", "1") == "1"
 N_SERIAL = int(os.environ.get("BENCH_SERIAL_FLOES", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 SERIAL_STEPS = int(os.environ.get("BENCH_SERIAL_STEPS", 5))
@@ -49,7 +52,8 @@ def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
 
     from subzero_tpu import SimConfig
     from subzero_tpu.config import (
-        CapacityConfig, DomainConfig, NumericsConfig, ProcessConfig,
+        CapacityConfig, ContactConfig, DomainConfig, NumericsConfig,
+        ProcessConfig,
     )
     from subzero_tpu.forcing import uniform_forcing
     from subzero_tpu.state import state_from_polygons
@@ -69,6 +73,7 @@ def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
         numerics=NumericsConfig(dtype=dtype, contact_impl=IMPL),
         domain=DomainConfig(lx=lx, ly=lx),
         processes=ProcessConfig(periodic=True),
+        contact=ContactConfig(per_region=PER_REGION),
     )
     rng = np.random.default_rng(0)
     sq = 0.5 * np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])

@@ -71,6 +71,26 @@ class ContactConfig:
     # floe_interactions.m:170-171 (what the MATLAB model actually computes);
     # "rigid" = the physically-correct rigid-body cross product.
     tangential_velocity: str = "reference"
+    # Per-region contact forces (floe_interactions.m:92-190 applies one force
+    # per disjoint overlap region).  When True (default) the narrow phase
+    # decomposes multi-crossing pairs' overlaps into regions on device
+    # (geometry/regions.py) and applies force/torque/stress per region, with
+    # the small-region cull per region (:79-83); pairs whose decomposition
+    # is degenerate fall back to the single aggregate contact.  False =
+    # aggregate only: exact for convex/single-region contacts, ~13% faster
+    # at 10k floes, with the measured multi-region envelope of
+    # tests/test_aggregation_error.py.
+    per_region: bool = True
+    # Crossing capacity of the on-device region decomposition; pairs with
+    # more boundary crossings fall back to the aggregate contact.
+    region_cap: int = 8
+    # Fraction of pair slots eligible for region decomposition per step.
+    # Pairs with <= 2 crossings have a single overlap region, where the
+    # aggregate contact is exact — so only the (rare) pairs with >= 4
+    # crossings are decomposed, compacted into a fixed pool of
+    # ceil(frac * n_pairs) slots.  Multi-crossing pairs beyond the pool keep
+    # the aggregate contact (aux.region_overflow flags this).
+    region_pair_frac: float = 0.015625
     # Wall force-component zeroing tolerance (floe_interactions_all.m:157-166
     # zeroes the wall-parallel force component when the contact point sits ON
     # |x|=Lx / |y|=Ly — compared with ==, which never fires for a region

@@ -23,13 +23,18 @@ Physics reproduced (file:line cites into /root/reference):
 * Contact point = overlap-region centroid (:97,108); torque about each
   centroid = cross(p - r_i, F) (floe_interactions_all.m:227-231).
 
-Aggregation delta (documented): one effective contact per floe pair (areas
-summed, centroid area-weighted, chords summed) instead of one per disjoint
-overlap region — exact for convex contacts, see geometry/clip.py.
+Per-region contacts (floe_interactions.m:92-190 applies one force per
+disjoint overlap region): pairs with >= 4 boundary crossings are decomposed
+on device (geometry/regions.py) and forces/torque/stress applied per region
+— the default.  With ``ContactConfig.per_region = False`` every pair gets
+ONE aggregate contact (areas summed, centroid area-weighted, chords summed),
+exact for convex/single-region contacts, with the measured multi-region
+envelope of tests/test_aggregation_error.py.
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -65,7 +70,14 @@ class PairContacts(NamedTuple):
     """Per-(floe, neighbor-slot) contact results, shapes [N, K] (+ trailing).
 
     fx, fy:    contact force on floe i from neighbor k
-    px, py:    contact point (world frame of floe i)
+    px, py:    contact point (world frame of floe i; per-region mode: the
+               area-weighted centroid of the contributing regions)
+    tq:        torque about floe i's centroid (exact per-region sum in
+               per-region mode; cross(p - r_i, F) otherwise)
+    sxx/syy/sxy: virial stress sums Σ_regions (p - r_i) ⊗ F (xx, yy and the
+               symmetrized xy component) — consumed by floe stress
+               (calc_trajectory.m:9-13) so multi-region contacts contribute
+               exactly even though only one effective point is reported
     overlap:   overlap area of the pair
     merge_i:   floe i should be absorbed into neighbor (overlap frac > 0.55)
     merge_j:   neighbor should be absorbed into floe i
@@ -75,13 +87,23 @@ class PairContacts(NamedTuple):
     fy: jnp.ndarray
     px: jnp.ndarray
     py: jnp.ndarray
+    tq: jnp.ndarray
+    sxx: jnp.ndarray
+    syy: jnp.ndarray
+    sxy: jnp.ndarray
     overlap: jnp.ndarray
     merge_i: jnp.ndarray
     merge_j: jnp.ndarray
+    region_overflow: jnp.ndarray  # [] >=4-crossing pairs exceeded the pool
 
 
 class BoundaryContact(NamedTuple):
     """Per-floe contact with the domain boundary, shapes [N].
+
+    Forces have the rectangular-wall component zeroing
+    (floe_interactions_all.m:157-166) already applied, per region in
+    per-region mode.  tq / sxx / syy / sxy are torque and virial stress sums
+    about the floe centroid, exact per-region sums in per-region mode.
 
     absorb: floe is >75% outside the domain -> kill (floe_interactions.m:37-39)
     out:    centroid left the domain -> kill (floe_interactions_all.m:152-155)
@@ -91,9 +113,14 @@ class BoundaryContact(NamedTuple):
     fy: jnp.ndarray
     px: jnp.ndarray
     py: jnp.ndarray
+    tq: jnp.ndarray
+    sxx: jnp.ndarray
+    syy: jnp.ndarray
+    sxy: jnp.ndarray
     overlap: jnp.ndarray
     absorb: jnp.ndarray
     out: jnp.ndarray
+    region_overflow: jnp.ndarray  # [] >=4-crossing floes exceeded the pool
 
 
 def _pair_forces_flat(
@@ -158,11 +185,172 @@ def _pair_forces_flat(
     merge_j = touching & (ar / area_j > merge_frac) & ~merge_i
     overlap = jnp.where(touching & ok, ar, 0.0)
 
+    # Torque about floe i's centroid (the pair-local origin) and virial
+    # stress sums (fx/fy are already zeroed where ~ok).
+    tq = (px - xi) * fy - (py - yi) * fx
+    sxx = (px - xi) * fx
+    syy = (py - yi) * fy
+    sxy = 0.5 * ((px - xi) * fy + (py - yi) * fx)
+
     return (
         fx.astype(dtype), fy.astype(dtype),
         px.astype(dtype), py.astype(dtype),
+        tq.astype(dtype), sxx.astype(dtype), syy.astype(dtype),
+        sxy.astype(dtype),
         overlap.astype(dtype), merge_i, merge_j,
     )
+
+
+def _pair_forces_regions(
+    rs,                          # RegionStats, [P, C]
+    ui, vi, ksi_i,               # [P] floe i kinematics (pair-local origin)
+    uj, vj, ksi_j, xj, yj,       # [P] neighbor kinematics (pair-local)
+    ff,                          # [P] Force_factor per pair
+    shear_g, mu, dt,
+    min_chord,
+    dtype,
+    amin,                        # [P] small-region area cull threshold
+    tang_reference: bool = True,
+    wall=None,                   # (lx, ly, tol, xw, yw): per-region wall
+                                 # component zeroing (floe_interactions_all.m
+                                 # :157-166); xw/yw [P] = world offset of the
+                                 # pair-local origin
+):
+    """Per-region contact forces (floe_interactions.m:92-190): one force per
+    disjoint overlap region, the small-region cull applied per region
+    (:79-83), all in the pair-local frame (floe i centroid at the origin).
+
+    Returns summed (fx, fy), exact torque/stress sums, the kept-region
+    overlap area, and the area-weighted effective contact point.
+    """
+    ar = rs.area                                          # [P, C]
+    chx, chy = rs.chord[..., 0], rs.chord[..., 1]
+    dl = jnp.sqrt(chx * chx + chy * chy)
+    inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
+    fdx = -chy * inv_dl
+    fdy = chx * inv_dl
+
+    # Validity per region: root slot, measurable chord (:141-142), and the
+    # per-region cull Ar < min(N1,N2)*100/1.75 (:79-83).
+    ok = rs.valid & (dl >= min_chord) & (ar >= amin[:, None]) & (ar > 0)
+
+    fn = ar * ff[:, None]
+    px, py = rs.centroid[..., 0], rs.centroid[..., 1]
+    if tang_reference:
+        vtx = (ui[:, None] + ksi_i[:, None] * px) \
+            - (uj[:, None] + ksi_j[:, None] * (px - xj[:, None]))
+        vty = (vi[:, None] + ksi_i[:, None] * py) \
+            - (vj[:, None] + ksi_j[:, None] * (py - yj[:, None]))
+    else:
+        vtx = (ui[:, None] - ksi_i[:, None] * py) \
+            - (uj[:, None] - ksi_j[:, None] * (py - yj[:, None]))
+        vty = (vi[:, None] + ksi_i[:, None] * px) \
+            - (vj[:, None] + ksi_j[:, None] * (px - xj[:, None]))
+    vt = jnp.sqrt(vtx * vtx + vty * vty)
+    inv_vt = 1.0 / jnp.where(vt > 0, vt, 1.0)
+    ft = jnp.minimum(vt * vt * dl * shear_g * dt, mu * fn)
+    fx_r = jnp.where(ok, fdx * fn - ft * vtx * inv_vt, 0.0)
+    fy_r = jnp.where(ok, fdy * fn - ft * vty * inv_vt, 0.0)
+
+    if wall is not None:
+        # Rectangular-wall force-component zeroing per region contact point
+        # (floe_interactions_all.m:157-166): points on the y-walls push only
+        # in y, on the x-walls only in x.
+        wlx, wly, wtol, xw, yw = wall
+        pxw = px + xw[:, None]
+        pyw = py + yw[:, None]
+        on_y = jnp.abs(jnp.abs(pyw) - wly) <= wtol
+        on_x = jnp.abs(jnp.abs(pxw) - wlx) <= wtol
+        fx_r = jnp.where(on_y & ~on_x, 0.0, fx_r)
+        fy_r = jnp.where(on_x & ~on_y, 0.0, fy_r)
+
+    fx = jnp.sum(fx_r, axis=1)
+    fy = jnp.sum(fy_r, axis=1)
+    tq = jnp.sum(px * fy_r - py * fx_r, axis=1)
+    sxx = jnp.sum(px * fx_r, axis=1)
+    syy = jnp.sum(py * fy_r, axis=1)
+    sxy = jnp.sum(0.5 * (px * fy_r + py * fx_r), axis=1)
+    ar_ok = jnp.where(ok, ar, 0.0)
+    overlap = jnp.sum(ar_ok, axis=1)
+    any_ok = overlap > 0
+    inv_w = 1.0 / jnp.where(any_ok, overlap, 1.0)
+    px_eff = jnp.sum(ar_ok * px, axis=1) * inv_w
+    py_eff = jnp.sum(ar_ok * py, axis=1) * inv_w
+
+    return (
+        fx.astype(dtype), fy.astype(dtype),
+        px_eff.astype(dtype), py_eff.astype(dtype),
+        tq.astype(dtype), sxx.astype(dtype), syy.astype(dtype),
+        sxy.astype(dtype), overlap.astype(dtype), any_ok,
+    )
+
+
+def _blend_regions_compact(
+    results,                     # (fx, fy, px, py, tq, sxx, syy, sxy,
+                                 #  overlap) flat [P] aggregate results
+    n_cross,                     # [P] aggregate crossing counts
+    gather_pair,                 # sel_g [M] -> (vi_m, vj_m, kin 8-tuple,
+                                 #  ff_m, amin_m, ov_gate_m|None, wall|None)
+    shear_g, mu, dt, cfg, dtype,
+):
+    """Blend per-region contact results into the aggregate ones, running the
+    region decomposition only on a fixed pool of multi-crossing pairs.
+
+    Pairs with <= 2 crossings have exactly one overlap region, where the
+    aggregate chord contact IS the per-region contact — so only pairs with
+    >= 4 crossings are decomposed.  They are compacted into
+    ceil(region_pair_frac * P) pool slots; pairs beyond the pool keep the
+    aggregate contact.  ``gather_pair`` rebuilds the selected pairs' local
+    geometry/kinematics FROM THE SOURCE arrays — gathering the narrow
+    phase's [P, V, 2] pair buffers instead would force XLA to materialize
+    them and break the fused clip kernel (measured 15% step cost).
+    """
+    from ..geometry.regions import region_stats
+
+    fx, fy, px, py, tq, sxx, syy, sxy, overlap = results
+    p_count = n_cross.shape[0]
+    m = min(p_count, max(8, math.ceil(p_count * cfg.contact.region_pair_frac)))
+
+    # Order-preserving compaction of the >= 4-crossing pair slots into m
+    # pool slots (cumsum + scatter -- a top_k here would sort all P pairs).
+    i32 = jnp.int32
+    needs = n_cross >= 4                             # [P]
+    pos = jnp.cumsum(needs.astype(i32)) - 1          # [P] pool slot
+    # Unfilled pool slots point out of bounds (p_count): their gathers clamp
+    # to a harmless row and their scatters drop — a 0 default would collide
+    # with pair slot 0 (duplicate scatter indices clobber its result).
+    sel = jnp.full((m,), p_count, i32).at[
+        jnp.where(needs & (pos < m), pos, m)
+    ].set(jnp.arange(p_count, dtype=i32), mode="drop")
+    n_need = jnp.sum(needs.astype(i32))
+    need = jnp.arange(m, dtype=i32) < jnp.minimum(n_need, m)  # slot filled
+    sel_g = jnp.minimum(sel, p_count - 1)            # clamped gather index
+
+    vi_m, vj_m, kin, ff_m, amin_m, ov_gate_m, wall = gather_pair(sel_g)
+    rs = region_stats(vi_m, vj_m, cfg.contact.region_cap)
+    ui, vi_k, ksi_i, uj, vj_k, ksi_j, xj, yj = kin
+    (rfx, rfy, rpx, rpy, rtq, rsxx, rsyy, rsxy, rov, r_any) = \
+        _pair_forces_regions(
+            rs, ui, vi_k, ksi_i, uj, vj_k, ksi_j, xj, yj,
+            ff_m, shear_g, mu, dt,
+            cfg.contact.min_chord, dtype,
+            amin=amin_m,
+            tang_reference=cfg.contact.tangential_velocity == "reference",
+            wall=wall,
+        )
+    use = need & rs.consistent & (rs.n_cross >= cfg.contact.min_crossings)
+
+    def scat(dst, src, gate=use):
+        return dst.at[sel].set(jnp.where(gate, src, dst[sel_g]),
+                               mode="drop")
+
+    ov_gate = use if ov_gate_m is None else use & ov_gate_m
+    return (
+        scat(fx, rfx), scat(fy, rfy),
+        scat(px, rpx, use & r_any), scat(py, rpy, use & r_any),
+        scat(tq, rtq), scat(sxx, rsxx), scat(syy, rsyy), scat(sxy, rsxy),
+        scat(overlap, rov, ov_gate),
+    ), n_need > m
 
 
 def contact_forces(
@@ -262,29 +450,68 @@ def contact_forces(
         return a.reshape(p)
 
     zero_nk = jnp.zeros((n, k), dtype)
-    fx, fy, px, py, overlap, merge_i, merge_j = _pair_forces_flat(
-        st,
-        fl(jnp.broadcast_to(u[:, None], (n, k))),
-        fl(jnp.broadcast_to(v[:, None], (n, k))),
-        fl(jnp.broadcast_to(ksi[:, None], (n, k))),
-        # kinematics in the pair-local frame: floe i's centroid is the origin
-        fl(zero_nk),
-        fl(zero_nk),
-        fl(u_s[nbr.idx]), fl(v_s[nbr.idx]), fl(ksi_s[nbr.idx]),
-        fl(x_s[nbr.idx] + nbr.shift[..., 0] - x[:, None]),
-        fl(y_s[nbr.idx] + nbr.shift[..., 1] - y[:, None]),
-        fl(ff),
-        fl(jnp.broadcast_to(area[:, None], (n, k))), fl(area_s[nbr.idx]),
-        shear_g, phys.mu_friction, dt,
-        cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
-        dtype,
-        amin=fl(amin),
-        merge_ok=fl(merge_ok),
-        min_cross=cfg.contact.min_crossings,
-        tang_reference=cfg.contact.tangential_velocity == "reference",
-    )
-    fx, fy, px, py, overlap, merge_i, merge_j = (
-        a.reshape(n, k) for a in (fx, fy, px, py, overlap, merge_i, merge_j)
+    u_i = fl(jnp.broadcast_to(u[:, None], (n, k)))
+    v_i = fl(jnp.broadcast_to(v[:, None], (n, k)))
+    ksi_if = fl(jnp.broadcast_to(ksi[:, None], (n, k)))
+    u_j = fl(u_s[nbr.idx])
+    v_j = fl(v_s[nbr.idx])
+    ksi_jf = fl(ksi_s[nbr.idx])
+    x_j = fl(x_s[nbr.idx] + nbr.shift[..., 0] - x[:, None])
+    y_j = fl(y_s[nbr.idx] + nbr.shift[..., 1] - y[:, None])
+    tang_ref = cfg.contact.tangential_velocity == "reference"
+    fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = \
+        _pair_forces_flat(
+            st,
+            u_i, v_i, ksi_if,
+            # kinematics in the pair-local frame: floe i centroid = origin
+            fl(zero_nk),
+            fl(zero_nk),
+            u_j, v_j, ksi_jf, x_j, y_j,
+            fl(ff),
+            fl(jnp.broadcast_to(area[:, None], (n, k))), fl(area_s[nbr.idx]),
+            shear_g, phys.mu_friction, dt,
+            cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
+            dtype,
+            amin=fl(amin),
+            merge_ok=fl(merge_ok),
+            min_cross=cfg.contact.min_crossings,
+            tang_reference=tang_ref,
+        )
+
+    region_overflow = jnp.zeros((), bool)
+    if cfg.contact.per_region:
+        # Reference-faithful per-region contact (floe_interactions.m:92-190):
+        # decompose the multi-crossing pairs' overlaps into disjoint regions
+        # on device and apply one force per region.  Pairs whose
+        # decomposition is degenerate (collinear edges, > region_cap
+        # crossings, odd parity) keep the aggregate result — the two
+        # formulations cover each other's weak spots (geometry/regions.py).
+        def gather_pair(sel_g):
+            i_s = sel_g // k
+            k_s = sel_g - i_s * k
+            j_s = nbr.idx[i_s, k_s]
+            sh = nbr.shift[i_s, k_s]
+            ci_s = jnp.stack([x[i_s], y[i_s]], axis=-1)[:, None, :]
+            vi_m = verts_world[i_s] - ci_s
+            vj_m = verts_s[j_s] + sh[:, None, :] - ci_s
+            kin = (u[i_s], v[i_s], ksi[i_s],
+                   u_s[j_s], v_s[j_s], ksi_s[j_s],
+                   x_s[j_s] + sh[:, 0] - x[i_s],
+                   y_s[j_s] + sh[:, 1] - y[i_s])
+            return (vi_m, vj_m, kin, ff[i_s, k_s], amin[i_s, k_s],
+                    merge_ok[i_s, k_s], None)
+
+        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), region_overflow = \
+            _blend_regions_compact(
+                (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
+                st.n_cross, gather_pair,
+                shear_g, phys.mu_friction, dt, cfg, dtype,
+            )
+
+    fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = (
+        a.reshape(n, k)
+        for a in (fx, fy, px, py, tq, sxx, syy, sxy, overlap,
+                  merge_i, merge_j)
     )
     # contact points back to world coordinates
     px = px + x[:, None]
@@ -297,9 +524,14 @@ def contact_forces(
         fy=jnp.where(valid, fy, zero),
         px=px,
         py=py,
+        tq=jnp.where(valid, tq, zero),
+        sxx=jnp.where(valid, sxx, zero),
+        syy=jnp.where(valid, syy, zero),
+        sxy=jnp.where(valid, sxy, zero),
         overlap=jnp.where(valid, overlap, zero),
         merge_i=valid & merge_i,
         merge_j=valid & merge_j,
+        region_overflow=region_overflow,
     )
 
 
@@ -350,6 +582,12 @@ def boundary_contact(
         & (dl >= cfg.contact.min_chord) & (ar > 0) & (ar >= amin)
     fn_norm = ar * ff
 
+    # Wall half-widths for the component-zeroing rule, from the (possibly
+    # moving) domain polygon (floe_interactions_all.m:157-166).
+    wlx = jnp.max(jnp.abs(domain_verts[:, 0]))
+    wly = jnp.max(jnp.abs(domain_verts[:, 1]))
+    wtol = cfg.contact.wall_zero_tol
+
     # floe-local contact point: (px, py) = contact point - centroid
     px, py = st.centroid[..., 0], st.centroid[..., 1]
     # Boundary is static: v2 = 0.  Radial reference form (:170-171) or
@@ -366,13 +604,48 @@ def boundary_contact(
                      phys.mu_friction * fn_norm)
     fx = jnp.where(ok, -chy * inv_dl * fn_norm - ft * vtx * inv_vt, 0.0)
     fy = jnp.where(ok, chx * inv_dl * fn_norm - ft * vty * inv_vt, 0.0)
+    # wall component zeroing at the aggregate contact point
+    on_y = jnp.abs(jnp.abs(py + y) - wly) <= wtol
+    on_x = jnp.abs(jnp.abs(px + x) - wlx) <= wtol
+    fx = jnp.where(on_y & ~on_x, 0.0, fx)
+    fy = jnp.where(on_x & ~on_y, 0.0, fy)
+    tq = px * fy - py * fx
+    sxx = px * fx
+    syy = py * fy
+    sxy = 0.5 * (px * fy + py * fx)
+    overlap = jnp.where(ok, ar, 0.0)
+
+    b_region_overflow = jnp.zeros((), bool)
+    if cfg.contact.per_region:
+        # Per-region boundary contact (the reference loops the difference
+        # regions exactly like floe-floe ones).  ∂(P \ Q) traverses Q
+        # backward: reverse the domain buffer (padding stays degenerate).
+        dom_single = jnp.roll(domain_verts[::-1], 1, axis=0)
+
+        def gather_floe(sel_g):
+            ci_s = jnp.stack([x[sel_g], y[sel_g]], axis=-1)[:, None, :]
+            vi_m = verts_world[sel_g] - ci_s
+            vj_m = dom_single[None] - ci_s
+            zm = jnp.zeros(sel_g.shape, dtype)
+            kin = (u[sel_g], v[sel_g], ksi[sel_g], zm, zm, zm, zm, zm)
+            return (vi_m, vj_m, kin, ff[sel_g], amin[sel_g], None,
+                    (wlx, wly, wtol, x[sel_g], y[sel_g]))
+
+        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), b_region_overflow = \
+            _blend_regions_compact(
+                (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
+                st.n_cross, gather_floe,
+                shear_g, phys.mu_friction, dt, cfg, dtype,
+            )
+
     absorb = ar / area > cfg.contact.boundary_overlap_frac
     fx = fx.astype(dtype)
     fy = fy.astype(dtype)
+    tq = tq.astype(dtype)
     # contact point back to world coordinates
     px = (px + x).astype(dtype)
     py = (py + y).astype(dtype)
-    overlap = jnp.where(ok, ar, 0.0).astype(dtype)
+    overlap = overlap.astype(dtype)
 
     # Centroid-outside-domain kill (floe_interactions_all.m:152-155).
     from ..geometry.polygon import points_in_polygon
@@ -382,6 +655,9 @@ def boundary_contact(
     out = alive & ~inside
 
     return BoundaryContact(
-        fx=fx, fy=fy, px=px, py=py, overlap=overlap,
+        fx=fx, fy=fy, px=px, py=py, tq=tq,
+        sxx=sxx.astype(dtype), syy=syy.astype(dtype),
+        sxy=sxy.astype(dtype), overlap=overlap,
         absorb=alive & absorb, out=out,
+        region_overflow=b_region_overflow,
     )

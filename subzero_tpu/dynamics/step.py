@@ -32,7 +32,7 @@ from ..geometry.polygon import pad_polygon
 from ..state import FloeState
 from .broadphase import neighbor_candidates
 from .contact import boundary_contact, contact_forces
-from .trajectory import floe_stress, push_stress, trajectory_update
+from .trajectory import push_stress, stress_from_sums, trajectory_update
 
 
 class StepAux(NamedTuple):
@@ -57,6 +57,8 @@ class StepAux(NamedTuple):
     pair_fy: jnp.ndarray          # [N, K]
     pair_overlap: jnp.ndarray     # [N, K] overlap area
     boundary_contact: jnp.ndarray  # [N] floe touches the domain boundary
+    region_overflow: jnp.ndarray  # [] >=4-crossing contacts exceeded the
+                                  # per-region decomposition pool
 
 
 def domain_polygon(cfg: SimConfig, v_cap: int = 8) -> jnp.ndarray:
@@ -121,37 +123,32 @@ def physics_step(
         pc_zero_bool = jnp.zeros(nbr.idx.shape, bool)
         from .contact import PairContacts
 
-        pc = PairContacts(fx=zk, fy=zk, px=zk, py=zk, overlap=zk,
-                          merge_i=pc_zero_bool, merge_j=pc_zero_bool)
+        pc = PairContacts(fx=zk, fy=zk, px=zk, py=zk, tq=zk,
+                          sxx=zk, syy=zk, sxy=zk, overlap=zk,
+                          merge_i=pc_zero_bool, merge_j=pc_zero_bool,
+                          region_overflow=jnp.zeros((), bool))
 
     # ---- narrow phase: boundary -------------------------------------------
     if not periodic:
+        # Rectangular-wall force-component zeroing
+        # (floe_interactions_all.m:157-166) is applied inside (per region in
+        # per-region mode).  The reference compares with ==, which never
+        # fires for a region centroid — the default wall_zero_tol=0.0
+        # reproduces that (wall friction survives).
         bc = boundary_contact(
             verts_world, state.x, state.y, state.u, state.v, state.ksi,
             state.h, state.area, state.alive, domain_verts, modulus, cfg,
             nv=state.nv,
         )
-        # Rectangular-wall force-component zeroing
-        # (floe_interactions_all.m:157-166): contact points on the x-walls
-        # push only in x, on the y-walls only in y.  The reference compares
-        # with ==, which never fires for a region centroid — the default
-        # wall_zero_tol=0.0 reproduces that (wall friction survives).  Wall
-        # positions derive from the (possibly moving) domain polygon.
-        lx_dyn = jnp.max(jnp.abs(domain_verts[:, 0]))
-        ly_dyn = jnp.max(jnp.abs(domain_verts[:, 1]))
-        eps = cfg.contact.wall_zero_tol
-        on_y_wall = jnp.abs(jnp.abs(bc.py) - ly_dyn) <= eps
-        on_x_wall = jnp.abs(jnp.abs(bc.px) - lx_dyn) <= eps
-        b_fx = jnp.where(on_y_wall & ~on_x_wall, 0.0, bc.fx)
-        b_fy = jnp.where(on_x_wall & ~on_y_wall, 0.0, bc.fy)
-        bc = bc._replace(fx=b_fx, fy=b_fy)
     else:
         zn = jnp.zeros((n,), dtype)
         from .contact import BoundaryContact
 
         bc = BoundaryContact(
-            fx=zn, fy=zn, px=zn, py=zn, overlap=zn,
+            fx=zn, fy=zn, px=zn, py=zn, tq=zn, sxx=zn, syy=zn, sxy=zn,
+            overlap=zn,
             absorb=jnp.zeros((n,), bool), out=jnp.zeros((n,), bool),
+            region_overflow=jnp.zeros((), bool),
         )
 
     # ---- reduce forces & torques -----------------------------------------
@@ -161,24 +158,21 @@ def physics_step(
     cf_x = jnp.sum(pc.fx, axis=1) + bc.fx
     cf_y = jnp.sum(pc.fy, axis=1) + bc.fy
 
-    # torque about own centroid (floe_interactions_all.m:255-259)
-    tq_pairs = (pc.px - state.x[:, None]) * pc.fy - (
-        pc.py - state.y[:, None]
-    ) * pc.fx
-    tq_b = (bc.px - state.x) * bc.fy - (bc.py - state.y) * bc.fx
-    cf_t = jnp.sum(jnp.where(f_valid, tq_pairs, 0.0), axis=1) + jnp.where(
-        b_valid, tq_b, 0.0
-    )
+    # torque about own centroid (floe_interactions_all.m:255-259); torques
+    # come from the narrow phase (exact per-region sums in per-region mode)
+    cf_t = jnp.sum(pc.tq, axis=1) + bc.tq
 
     overlap_total = jnp.sum(pc.overlap, axis=1) + bc.overlap
 
     # ---- stress ring buffer ----------------------------------------------
-    all_fx = jnp.concatenate([pc.fx, bc.fx[:, None]], axis=1)
-    all_fy = jnp.concatenate([pc.fy, bc.fy[:, None]], axis=1)
-    all_px = jnp.concatenate([pc.px, bc.px[:, None]], axis=1)
-    all_py = jnp.concatenate([pc.py, bc.py[:, None]], axis=1)
-    all_valid = jnp.concatenate([f_valid, b_valid[:, None]], axis=1)
-    s_new = floe_stress(state, all_fx, all_fy, all_px, all_py, all_valid)
+    # Virial sums Σ (p - r) ⊗ F, precomputed in the narrow phase
+    # (per-region exact).
+    s_new = stress_from_sums(
+        state,
+        jnp.sum(pc.sxx, axis=1) + bc.sxx,
+        jnp.sum(pc.syy, axis=1) + bc.syy,
+        jnp.sum(pc.sxy, axis=1) + bc.sxy,
+    )
     state = push_stress(state, s_new, step_idx)
 
     state = state.replace(overlap_area=overlap_total)
@@ -233,6 +227,7 @@ def physics_step(
         pair_fy=pc.fy,
         pair_overlap=pc.overlap,
         boundary_contact=b_valid | (bc.overlap > 0),
+        region_overflow=pc.region_overflow | bc.region_overflow,
     )
     return state, aux
 

@@ -35,6 +35,14 @@ from ..forcing import Forcing, sample_forcing
 from ..state import FloeState
 
 
+def stress_from_sums(state: FloeState, sxx, syy, sxy) -> jnp.ndarray:
+    """Virial contact stress per floe, [N, 3] (xx, yy, xy), from precomputed
+    Σ (p - r) ⊗ F sums (exact for per-region contacts: each region's point
+    enters the sum individually).  Mirrors calc_trajectory.m:9-13."""
+    inv = 1.0 / (state.area * state.h)
+    return jnp.stack([sxx, syy, sxy], axis=-1) * inv[:, None]
+
+
 def floe_stress(state: FloeState, cf_x, cf_y, px, py, f_valid) -> jnp.ndarray:
     """Virial contact stress per floe, [N, 3] (xx, yy, xy).
 

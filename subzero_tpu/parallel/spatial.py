@@ -41,7 +41,9 @@ from ..forcing import Forcing
 from ..state import FloeState
 from ..dynamics.broadphase import neighbor_candidates
 from ..dynamics.contact import boundary_contact, contact_forces
-from ..dynamics.trajectory import floe_stress, push_stress, trajectory_update
+from ..dynamics.trajectory import (
+    push_stress, stress_from_sums, trajectory_update,
+)
 from ..dynamics.step import StepAux, domain_polygon
 
 AXIS = "shards"
@@ -187,38 +189,32 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
                 state.h, state.area, state.alive, domain_rep, modulus, cfg,
                 nv=state.nv,
             )
-            lx_d = jnp.max(jnp.abs(domain_rep[:, 0]))
-            ly_d = jnp.max(jnp.abs(domain_rep[:, 1]))
-            eps = cfg.contact.wall_zero_tol   # 0.0 = reference == semantics
-            on_y = jnp.abs(jnp.abs(bc.py) - ly_d) <= eps
-            on_x = jnp.abs(jnp.abs(bc.px) - lx_d) <= eps
-            bc = bc._replace(
-                fx=jnp.where(on_y & ~on_x, 0.0, bc.fx),
-                fy=jnp.where(on_x & ~on_y, 0.0, bc.fy),
-            )
+            # wall component zeroing applied inside boundary_contact
             b_fx, b_fy, b_px, b_py = bc.fx, bc.fy, bc.px, bc.py
+            b_tq, b_sxx, b_syy, b_sxy = bc.tq, bc.sxx, bc.syy, bc.sxy
             b_overlap, b_absorb, b_out = bc.overlap, bc.absorb, bc.out
+            b_rov = bc.region_overflow
         else:
             zn = jnp.zeros_like(state.x)
             b_fx = b_fy = b_px = b_py = b_overlap = zn
+            b_tq = b_sxx = b_syy = b_sxy = zn
             b_absorb = b_out = jnp.zeros_like(state.alive)
+            b_rov = jnp.zeros((), bool)
 
         f_valid = (jnp.abs(pc.fx) + jnp.abs(pc.fy)) > 0
         b_valid = (jnp.abs(b_fx) + jnp.abs(b_fy)) > 0
         cf_x = jnp.sum(pc.fx, axis=1) + b_fx
         cf_y = jnp.sum(pc.fy, axis=1) + b_fy
-        tq = (pc.px - state.x[:, None]) * pc.fy - (
-            pc.py - state.y[:, None]) * pc.fx
-        tq_b = (b_px - state.x) * b_fy - (b_py - state.y) * b_fx
-        cf_t = jnp.sum(jnp.where(f_valid, tq, 0.0), axis=1) + jnp.where(
-            b_valid, tq_b, 0.0)
+        cf_t = jnp.sum(pc.tq, axis=1) + b_tq
 
-        all_fx = jnp.concatenate([pc.fx, b_fx[:, None]], axis=1)
-        all_fy = jnp.concatenate([pc.fy, b_fy[:, None]], axis=1)
-        all_px = jnp.concatenate([pc.px, b_px[:, None]], axis=1)
-        all_py = jnp.concatenate([pc.py, b_py[:, None]], axis=1)
-        all_valid = jnp.concatenate([f_valid, b_valid[:, None]], axis=1)
-        s_new = floe_stress(state, all_fx, all_fy, all_px, all_py, all_valid)
+        # Virial sums Σ (p - r) ⊗ F, precomputed in the narrow phase
+        # (per-region exact).
+        s_new = stress_from_sums(
+            state,
+            jnp.sum(pc.sxx, axis=1) + b_sxx,
+            jnp.sum(pc.syy, axis=1) + b_syy,
+            jnp.sum(pc.sxy, axis=1) + b_sxy,
+        )
         state = push_stress(state, s_new, step_idx)
         state = state.replace(
             overlap_area=jnp.sum(pc.overlap, axis=1) + b_overlap)
@@ -274,6 +270,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             pair_px=pc.px, pair_py=pc.py,
             pair_fx=pc.fx, pair_fy=pc.fy, pair_overlap=pc.overlap,
             boundary_contact=b_valid | (b_overlap > 0),
+            region_overflow=jax.lax.psum((pc.region_overflow | b_rov).astype(jnp.int32), AXIS) > 0,
         )
         return state, aux
 
@@ -287,7 +284,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         collision_torque=state_spec, nbr_idx=state_spec,
         pair_valid=state_spec, pair_px=state_spec, pair_py=state_spec,
         pair_fx=state_spec, pair_fy=state_spec, pair_overlap=state_spec,
-        boundary_contact=state_spec,
+        boundary_contact=state_spec, region_overflow=P(),
     )
 
     sharded = shard_map(

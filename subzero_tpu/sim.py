@@ -351,6 +351,7 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         pair_valid=jnp.zeros((n, k), bool),
         pair_px=zk, pair_py=zk, pair_fx=zk, pair_fy=zk, pair_overlap=zk,
         boundary_contact=jnp.zeros((n,), bool),
+        region_overflow=jnp.zeros((), bool),
     )
 
 

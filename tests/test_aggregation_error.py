@@ -1,21 +1,33 @@
-"""Quantify the single-aggregate contact delta on concave floe pairs
-(VERDICT round-1 item 2).
+"""Quantify the contact-model deltas on concave floe pairs vs the serial
+oracle (VERDICT round-1 item 2, closed in round 2 by per-region contacts).
 
-The device kernel applies ONE force per floe pair (areas summed, chord
-summed, centroid area-weighted); the reference applies one force per
-disjoint overlap region (floe_interactions.m:92-190).  For convex pairs the
-two are identical.  This test measures the difference on an ensemble of
-random concave (star-perturbed) pairs against the serial oracle and asserts
-the measured envelope, recording the distribution in the test output.
+The reference applies one force per disjoint overlap region
+(floe_interactions.m:92-190).  Two device modes are measured against the
+serial oracle on an ensemble of random concave (star-perturbed) pairs:
+
+* aggregate (per_region=False): ONE force per floe pair (areas summed,
+  chord summed, centroid area-weighted) — exact for convex pairs, the
+  measured envelope below for concave multi-region ones.
+* per-region (per_region=True): on-device Weiler-Atherton decomposition
+  (geometry/regions.py), one force per region with the per-region cull —
+  machine-precision agreement except for two documented reference quirks:
+  the displace-and-reclip flip heuristic (floe_interactions.m:139-165),
+  whose 1 m probe displacement can change region topology and reverse the
+  physically-correct push-out direction, and the tangential length scale
+  (reference: mean on-boundary edge length; device: region chord length)
+  on regions with more than two crossings.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 import pytest
 
 from subzero_tpu.config import (
-    CapacityConfig, NumericsConfig, ProcessConfig, SimConfig,
+    CapacityConfig, ContactConfig, NumericsConfig, PhysicsConfig,
+    ProcessConfig, SimConfig,
 )
 from subzero_tpu.dynamics.broadphase import neighbor_candidates
 from subzero_tpu.dynamics.contact import contact_forces
@@ -32,22 +44,19 @@ def _star(rng, r_mean, n_arms, c=(0.0, 0.0), rough=0.45):
     return np.stack([c[0] + r * np.cos(th), c[1] + r * np.sin(th)], axis=1)
 
 
-def test_concave_aggregation_error_ensemble():
-    cfg = SimConfig(
-        physics=__import__("subzero_tpu.config", fromlist=["PhysicsConfig"]
-                           ).PhysicsConfig(ocean_coupling=False),
-        processes=ProcessConfig(collision=True, corners=False),
-        numerics=NumericsConfig(dtype="float64"),
-        capacity=CapacityConfig(max_floes=8, max_neighbors=4, max_verts=32),
-    )
-    rng = np.random.default_rng(42)
+def _ensemble_errors(cfg, n_trials=60, seed=42):
+    """Relative force error vs the per-region oracle over random star pairs.
+
+    Returns (rel_err array, n multi-region pairs, n checked).
+    """
+    rng = np.random.default_rng(seed)
     modulus = 9e7
     dt = cfg.numerics.dt
 
     rel_err = []
     multi_region = 0
     checked = 0
-    for trial in range(60):
+    for _ in range(n_trials):
         p1 = _star(rng, 6e3, rng.integers(5, 9))
         # second floe offset so the stars interlock partially
         off = rng.uniform(0.7, 1.3) * 9e3
@@ -69,7 +78,6 @@ def test_concave_aggregation_error_ensemble():
         if len(forces) > 1:
             multi_region += 1
 
-        # device kernel: one aggregate contact per pair
         verts = np.asarray(st.verts_world())
         nbr = neighbor_candidates(st.x, st.y, st.rmax, st.alive, 4, False,
                                   1e5, 1e5)
@@ -84,7 +92,21 @@ def test_concave_aggregation_error_ensemble():
         rel_err.append(np.linalg.norm(f_dev - f_oracle) / mag)
         checked += 1
 
-    rel_err = np.array(rel_err)
+    return np.array(rel_err), multi_region, checked
+
+
+_BASE = SimConfig(
+    physics=PhysicsConfig(ocean_coupling=False),
+    processes=ProcessConfig(collision=True, corners=False),
+    numerics=NumericsConfig(dtype="float64"),
+    capacity=CapacityConfig(max_floes=8, max_neighbors=4, max_verts=32),
+    # aggregate mode (per_region=True is the SimConfig default)
+    contact=ContactConfig(per_region=False),
+)
+
+
+def test_concave_aggregation_error_ensemble():
+    rel_err, multi_region, checked = _ensemble_errors(_BASE)
     assert checked >= 25, f"ensemble too small ({checked})"
     assert multi_region >= 3, "ensemble must include multi-region contacts"
     med = float(np.median(rel_err))
@@ -97,3 +119,22 @@ def test_concave_aggregation_error_ensemble():
     # order-one of the per-region reference force
     assert med < 0.05
     assert p90 < 0.25
+
+
+def test_per_region_closes_the_gap():
+    cfg = dataclasses.replace(
+        _BASE, contact=ContactConfig(per_region=True, region_cap=16))
+    rel_err, multi_region, checked = _ensemble_errors(cfg)
+    assert checked >= 25
+    assert multi_region >= 3
+    med = float(np.median(rel_err))
+    p90 = float(np.quantile(rel_err, 0.9))
+    big = int((rel_err > 0.05).sum())
+    print(f"\nper-region error over {checked} concave pairs "
+          f"({multi_region} multi-region): median {med:.2e}, "
+          f"90th pct {p90:.2e}, >5% outliers {big}")
+    # measured (2026-08-20, f64): median 3.9e-14, p90 5.9e-3, 3/60 outliers
+    # (the reference flip-heuristic quirk, see module docstring)
+    assert med < 1e-9, "consistent decompositions must match to roundoff"
+    assert p90 < 0.02
+    assert big <= max(3, checked // 15)

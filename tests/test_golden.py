@@ -75,8 +75,10 @@ def _modulus(polys):
 
 
 def _run_both(polys, vels, n_steps, check_every=50, max_verts=64,
-              forcing=None, ocean=False, heat_flux=0.0, seed=0):
+              forcing=None, ocean=False, heat_flux=0.0, seed=0,
+              contact=None):
     """Run the JAX step and the oracle in lockstep; return diagnostics."""
+    kw = {} if contact is None else {"contact": contact}
     cfg = SimConfig(
         physics=PhysicsConfig(ocean_coupling=ocean),
         processes=ProcessConfig(collision=True, corners=False),
@@ -85,6 +87,7 @@ def _run_both(polys, vels, n_steps, check_every=50, max_verts=64,
             max_floes=max(8, len(polys)), max_neighbors=8,
             max_verts=max_verts),
         heat_flux=heat_flux,
+        **kw,
     )
     modulus = _modulus(polys)
     st = state_from_polygons(polys, 0.25, cfg, seed=seed,
@@ -182,12 +185,15 @@ def test_complex_concave_floes():
     translated -[1e4 4e4] (the fixture geometry, simplified to <=60 verts).
     Concave contacts can span multiple disjoint regions -> the aggregation
     tolerance is the measured envelope, see validation/GOLDEN.md."""
+    from subzero_tpu.config import ContactConfig
+
     c1 = _complex(5)
     # conservation_test.m translates complex2 by -[1e4 4e4]; we shift a
     # further +1.2 km in x to close the bbox gap (interlocking concave
     # boundaries still take ~1400 steps to touch)
     c2 = _complex(4, translate=(-1e4 + 1.2e3, -4e4))
-    r = _run_both([c1, c2], [[-0.11, 0.02], [0.1, 0.02]], 2600)
+    r = _run_both([c1, c2], [[-0.11, 0.02], [0.1, 0.02]], 2600,
+                  contact=ContactConfig(per_region=False))
     _assert_dissipation(r)
     assert r["max_dx"] < 5.0
     assert r["max_du"] < 1e-2
@@ -196,12 +202,46 @@ def test_complex_concave_floes():
 def test_concave_floe_hits_wall():
     """One non-convex block hits the wall (conservation_test.m:51-54):
     complex1 translated +[7.75e4 0] drifts into the +x wall."""
+    from subzero_tpu.config import ContactConfig
+
     c1 = _complex(5, translate=(7.95e4, 0))   # +2 km vs the fixture: gap
-    r = _run_both([c1], [[0.11, 0.02]], 1500)  # ~330 m, contact ~step 300
+    r = _run_both([c1], [[0.11, 0.02]], 1500,  # ~330 m, contact ~step 300
+                  contact=ContactConfig(per_region=False))
     _assert_dissipation(r)
     assert r["max_dx"] < 5.0
     assert r["max_du"] < 1e-2
     # the wall reversed the x-velocity
+    assert r["floes"][0].u < 0.0
+
+
+def test_complex_concave_floes_per_region():
+    """Scenario 4 with per-region contacts (ContactConfig.per_region): the
+    on-device region decomposition reproduces the oracle's per-region forces
+    exactly, so the concave aggregation envelope (5 m) collapses to roundoff
+    (measured 2.2e-11 m / 9.8e-15 m/s over 2600 steps, 2026-08-20)."""
+    from subzero_tpu.config import ContactConfig
+
+    c1 = _complex(5)
+    c2 = _complex(4, translate=(-1e4 + 1.2e3, -4e4))
+    r = _run_both([c1, c2], [[-0.11, 0.02], [0.1, 0.02]], 2600,
+                  contact=ContactConfig(per_region=True, region_cap=16))
+    _assert_dissipation(r)
+    assert r["max_dx"] < 1e-6
+    assert r["max_du"] < 1e-9
+
+
+def test_concave_floe_hits_wall_per_region():
+    """Scenario 5 with per-region contacts: the boundary-difference regions
+    (via the reversed-domain decomposition) match the oracle to roundoff
+    (measured 1.5e-7 m / 1.4e-11 m/s over 1500 steps, 2026-08-20)."""
+    from subzero_tpu.config import ContactConfig
+
+    c1 = _complex(5, translate=(7.95e4, 0))
+    r = _run_both([c1], [[0.11, 0.02]], 1500,
+                  contact=ContactConfig(per_region=True, region_cap=16))
+    _assert_dissipation(r)
+    assert r["max_dx"] < 1e-4
+    assert r["max_du"] < 1e-8
     assert r["floes"][0].u < 0.0
 
 

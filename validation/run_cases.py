@@ -149,8 +149,10 @@ CASES = {
     "winter": run_winter,
 }
 
+# winter runs past n_pack=5500 so the packing pass fires at reference
+# cadence (winter/Subzero.m:105-109)
 DEFAULT_STEPS = {
-    "out_of_box": 7500, "uniaxial": 6000, "nares": 3000, "winter": 1500,
+    "out_of_box": 7500, "uniaxial": 6000, "nares": 3000, "winter": 6000,
 }
 
 if __name__ == "__main__":
