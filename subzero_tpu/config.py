@@ -82,15 +82,23 @@ class ContactConfig:
     # tests/test_aggregation_error.py.
     per_region: bool = True
     # Crossing capacity of the on-device region decomposition; pairs with
-    # more boundary crossings fall back to the aggregate contact.
-    region_cap: int = 8
+    # more boundary crossings fall back to the aggregate contact.  16 is the
+    # golden-validated value (tests/test_golden.py per-region scenarios).
+    region_cap: int = 16
     # Fraction of pair slots eligible for region decomposition per step.
     # Pairs with <= 2 crossings have a single overlap region, where the
     # aggregate contact is exact — so only the (rare) pairs with >= 4
     # crossings are decomposed, compacted into a fixed pool of
-    # ceil(frac * n_pairs) slots.  Multi-crossing pairs beyond the pool keep
-    # the aggregate contact (aux.region_overflow flags this).
+    # ceil(frac * n_pairs) slots.  If the pool overflows, the whole step
+    # falls back to aggregate contacts (a partial pool would break force
+    # antisymmetry); aux.region_overflow flags the degradation.
     region_pair_frac: float = 0.015625
+    # Tangential length scale dl of per-region contacts: "chord" (default,
+    # |region chord|, the TPU-native form — ensemble delta vs the reference
+    # measured in validation/GOLDEN.md) or "edge_mean" (reference-exact mean
+    # length of the overlap region's edges lying on floe 1's boundary,
+    # floe_interactions.m:126-131).
+    region_dl: str = "chord"
     # Wall force-component zeroing tolerance (floe_interactions_all.m:157-166
     # zeroes the wall-parallel force component when the contact point sits ON
     # |x|=Lx / |y|=Ly — compared with ==, which never fires for a region
@@ -137,6 +145,11 @@ class ProcessConfig:
     # between outputs and emit the time mean instead of the instantaneous
     # snapshot.
     average: bool = False
+    # Advect-diffuse the dissolved-mass field each chunk
+    # (Advect_Dissolved_Ice.m; the reference driver carries the call
+    # DISABLED at Subzero.m:359 in favor of pure accumulation — False
+    # reproduces that default).
+    advect_dissolved: bool = False
 
     # Cadences, in steps
     n_dt_out: int = 150             # snapshot/diagnostics output

@@ -95,6 +95,8 @@ class PairContacts(NamedTuple):
     merge_i: jnp.ndarray
     merge_j: jnp.ndarray
     region_overflow: jnp.ndarray  # [] >=4-crossing pairs exceeded the pool
+    region_need: jnp.ndarray      # [] count of >=4-crossing pair slots
+                                  # (pool demand; sizes region_pair_frac)
 
 
 class BoundaryContact(NamedTuple):
@@ -121,6 +123,7 @@ class BoundaryContact(NamedTuple):
     absorb: jnp.ndarray
     out: jnp.ndarray
     region_overflow: jnp.ndarray  # [] >=4-crossing floes exceeded the pool
+    region_need: jnp.ndarray      # [] count of >=4-crossing floe slots
 
 
 def _pair_forces_flat(
@@ -215,6 +218,7 @@ def _pair_forces_regions(
                                  # component zeroing (floe_interactions_all.m
                                  # :157-166); xw/yw [P] = world offset of the
                                  # pair-local origin
+    region_dl: str = "chord",    # tangential length scale (ContactConfig)
 ):
     """Per-region contact forces (floe_interactions.m:92-190): one force per
     disjoint overlap region, the small-region cull applied per region
@@ -225,13 +229,20 @@ def _pair_forces_regions(
     """
     ar = rs.area                                          # [P, C]
     chx, chy = rs.chord[..., 0], rs.chord[..., 1]
-    dl = jnp.sqrt(chx * chx + chy * chy)
-    inv_dl = 1.0 / jnp.where(dl > 0, dl, 1.0)
+    ch_norm = jnp.sqrt(chx * chx + chy * chy)
+    inv_dl = 1.0 / jnp.where(ch_norm > 0, ch_norm, 1.0)
     fdx = -chy * inv_dl
     fdy = chx * inv_dl
+    if region_dl == "edge_mean":
+        # Reference-exact dl = mean length of the region's edges on floe
+        # 1's boundary (floe_interactions.m:126-131); the 0.1 m gate below
+        # (:141-142) then applies to this dl, as in the reference.
+        dl = rs.p_len / jnp.maximum(rs.p_cnt, 1.0)
+    else:
+        dl = ch_norm
 
-    # Validity per region: root slot, measurable chord (:141-142), and the
-    # per-region cull Ar < min(N1,N2)*100/1.75 (:79-83).
+    # Validity per region: root slot, measurable contact length (:141-142),
+    # and the per-region cull Ar < min(N1,N2)*100/1.75 (:79-83).
     ok = rs.valid & (dl >= min_chord) & (ar >= amin[:, None]) & (ar > 0)
 
     fn = ar * ff[:, None]
@@ -292,6 +303,7 @@ def _blend_regions_compact(
     gather_pair,                 # sel_g [M] -> (vi_m, vj_m, kin 8-tuple,
                                  #  ff_m, amin_m, ov_gate_m|None, wall|None)
     shear_g, mu, dt, cfg, dtype,
+    axis_names: tuple = (),
 ):
     """Blend per-region contact results into the aggregate ones, running the
     region decomposition only on a fixed pool of multi-crossing pairs.
@@ -299,17 +311,26 @@ def _blend_regions_compact(
     Pairs with <= 2 crossings have exactly one overlap region, where the
     aggregate chord contact IS the per-region contact — so only pairs with
     >= 4 crossings are decomposed.  They are compacted into
-    ceil(region_pair_frac * P) pool slots; pairs beyond the pool keep the
-    aggregate contact.  ``gather_pair`` rebuilds the selected pairs' local
-    geometry/kinematics FROM THE SOURCE arrays — gathering the narrow
-    phase's [P, V, 2] pair buffers instead would force XLA to materialize
-    them and break the fused clip kernel (measured 15% step cost).
+    ceil(region_pair_frac * P) pool slots.  If the pool overflows, the
+    WHOLE step falls back to the aggregate contact: a partial pool would
+    break Newton's third law, because compaction order could admit one
+    endpoint of an unordered pair while its mirror keeps the aggregate
+    force.  ``axis_names``: mesh axes to reduce the overflow decision over,
+    so all shards of a spatial decomposition fall back together (a
+    cross-tile pair must be treated identically on both owning shards).
+    ``gather_pair`` rebuilds the selected pairs' local geometry/kinematics
+    FROM THE SOURCE arrays — gathering the narrow phase's [P, V, 2] pair
+    buffers instead would force XLA to materialize them and break the fused
+    clip kernel (measured 15% step cost).
     """
     from ..geometry.regions import region_stats
 
     fx, fy, px, py, tq, sxx, syy, sxy, overlap = results
     p_count = n_cross.shape[0]
-    m = min(p_count, max(8, math.ceil(p_count * cfg.contact.region_pair_frac)))
+    # Floor of 64: small populations (validation cases) routinely have tens
+    # of >=4-crossing pairs; a tiny pool would push them all to the
+    # aggregate fallback.  At 10k-floe scale the frac term dominates.
+    m = min(p_count, max(64, math.ceil(p_count * cfg.contact.region_pair_frac)))
 
     # Order-preserving compaction of the >= 4-crossing pair slots into m
     # pool slots (cumsum + scatter -- a top_k here would sort all P pairs).
@@ -337,8 +358,17 @@ def _blend_regions_compact(
             amin=amin_m,
             tang_reference=cfg.contact.tangential_velocity == "reference",
             wall=wall,
+            region_dl=cfg.contact.region_dl,
         )
-    use = need & rs.consistent & (rs.n_cross >= cfg.contact.min_crossings)
+    overflow = n_need > m
+    n_need_global = n_need
+    for ax in axis_names:
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), ax) > 0
+        n_need_global = jax.lax.psum(n_need_global, ax)
+    # All-or-nothing: on overflow every pair keeps the aggregate contact
+    # (symmetric by construction); region_overflow flags the degradation.
+    use = (need & rs.consistent & (rs.n_cross >= cfg.contact.min_crossings)
+           & ~overflow)
 
     def scat(dst, src, gate=use):
         return dst.at[sel].set(jnp.where(gate, src, dst[sel_g]),
@@ -350,7 +380,7 @@ def _blend_regions_compact(
         scat(px, rpx, use & r_any), scat(py, rpy, use & r_any),
         scat(tq, rtq), scat(sxx, rsxx), scat(syy, rsyy), scat(sxy, rsxy),
         scat(overlap, rov, ov_gate),
-    ), n_need > m
+    ), overflow, n_need_global.astype(jnp.int32)
 
 
 def contact_forces(
@@ -364,6 +394,7 @@ def contact_forces(
     nv: jnp.ndarray | None = None,        # [N] vertex counts (region cull)
     nv_s: jnp.ndarray | None = None,      # source vertex counts
     domain_verts: jnp.ndarray | None = None,  # merge-gate bbox (:54)
+    axis_names: tuple = (),       # mesh axes for the shared overflow decision
 ) -> PairContacts:
     """Contact forces for every (floe, candidate) in the neighbor table.
 
@@ -479,6 +510,7 @@ def contact_forces(
         )
 
     region_overflow = jnp.zeros((), bool)
+    region_need = jnp.zeros((), jnp.int32)
     if cfg.contact.per_region:
         # Reference-faithful per-region contact (floe_interactions.m:92-190):
         # decompose the multi-crossing pairs' overlaps into disjoint regions
@@ -501,11 +533,12 @@ def contact_forces(
             return (vi_m, vj_m, kin, ff[i_s, k_s], amin[i_s, k_s],
                     merge_ok[i_s, k_s], None)
 
-        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), region_overflow = \
-            _blend_regions_compact(
+        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), region_overflow, \
+            region_need = _blend_regions_compact(
                 (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
                 st.n_cross, gather_pair,
                 shear_g, phys.mu_friction, dt, cfg, dtype,
+                axis_names=axis_names,
             )
 
     fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = (
@@ -532,6 +565,7 @@ def contact_forces(
         merge_i=valid & merge_i,
         merge_j=valid & merge_j,
         region_overflow=region_overflow,
+        region_need=region_need,
     )
 
 
@@ -543,6 +577,7 @@ def boundary_contact(
     modulus: float,
     cfg: SimConfig,
     nv: jnp.ndarray | None = None,  # [N] vertex counts (region cull)
+    axis_names: tuple = (),       # mesh axes for the shared overflow decision
 ) -> BoundaryContact:
     """Floe-vs-domain-boundary contact (the reference's ``floebound`` path).
 
@@ -616,11 +651,16 @@ def boundary_contact(
     overlap = jnp.where(ok, ar, 0.0)
 
     b_region_overflow = jnp.zeros((), bool)
+    b_region_need = jnp.zeros((), jnp.int32)
     if cfg.contact.per_region:
         # Per-region boundary contact (the reference loops the difference
         # regions exactly like floe-floe ones).  ∂(P \ Q) traverses Q
-        # backward: reverse the domain buffer (padding stays degenerate).
-        dom_single = jnp.roll(domain_verts[::-1], 1, axis=0)
+        # backward: reverse via the shared padding-aware helper (the domain
+        # buffer is a 4-gon padded by repeating vertex 0).
+        from ..geometry.regions import reverse_polygons
+
+        dom_single = reverse_polygons(
+            domain_verts[None], nv=jnp.full((1,), 4, jnp.int32))[0]
 
         def gather_floe(sel_g):
             ci_s = jnp.stack([x[sel_g], y[sel_g]], axis=-1)[:, None, :]
@@ -631,11 +671,12 @@ def boundary_contact(
             return (vi_m, vj_m, kin, ff[sel_g], amin[sel_g], None,
                     (wlx, wly, wtol, x[sel_g], y[sel_g]))
 
-        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), b_region_overflow = \
-            _blend_regions_compact(
+        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), b_region_overflow, \
+            b_region_need = _blend_regions_compact(
                 (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
                 st.n_cross, gather_floe,
                 shear_g, phys.mu_friction, dt, cfg, dtype,
+                axis_names=axis_names,
             )
 
     absorb = ar / area > cfg.contact.boundary_overlap_frac
@@ -660,4 +701,5 @@ def boundary_contact(
         sxy=sxy.astype(dtype), overlap=overlap,
         absorb=alive & absorb, out=out,
         region_overflow=b_region_overflow,
+        region_need=b_region_need,
     )

@@ -59,6 +59,8 @@ class StepAux(NamedTuple):
     boundary_contact: jnp.ndarray  # [N] floe touches the domain boundary
     region_overflow: jnp.ndarray  # [] >=4-crossing contacts exceeded the
                                   # per-region decomposition pool
+    region_pool_need: jnp.ndarray  # [] >=4-crossing contact slots this step
+                                   # (pool demand; sizes region_pair_frac)
 
 
 def domain_polygon(cfg: SimConfig, v_cap: int = 8) -> jnp.ndarray:
@@ -126,7 +128,8 @@ def physics_step(
         pc = PairContacts(fx=zk, fy=zk, px=zk, py=zk, tq=zk,
                           sxx=zk, syy=zk, sxy=zk, overlap=zk,
                           merge_i=pc_zero_bool, merge_j=pc_zero_bool,
-                          region_overflow=jnp.zeros((), bool))
+                          region_overflow=jnp.zeros((), bool),
+                          region_need=jnp.zeros((), jnp.int32))
 
     # ---- narrow phase: boundary -------------------------------------------
     if not periodic:
@@ -149,6 +152,7 @@ def physics_step(
             overlap=zn,
             absorb=jnp.zeros((n,), bool), out=jnp.zeros((n,), bool),
             region_overflow=jnp.zeros((), bool),
+            region_need=jnp.zeros((), jnp.int32),
         )
 
     # ---- reduce forces & torques -----------------------------------------
@@ -228,6 +232,7 @@ def physics_step(
         pair_overlap=pc.overlap,
         boundary_contact=b_valid | (bc.overlap > 0),
         region_overflow=pc.region_overflow | bc.region_overflow,
+        region_pool_need=pc.region_need + bc.region_need,
     )
     return state, aux
 

@@ -66,6 +66,11 @@ class RegionStats(NamedTuple):
     valid: jnp.ndarray       # [B, C] slot is a region root
     consistent: jnp.ndarray  # [B] decomposition trustworthy
     n_cross: jnp.ndarray     # [B] proper crossing count (uncapped)
+    p_len: jnp.ndarray       # [B, C] arc length of the region on P's boundary
+    p_cnt: jnp.ndarray       # [B, C] count of its (nonzero) P-boundary
+                             # segments — p_len/p_cnt is the reference's
+                             # tangential length scale dl = mean(b(on))
+                             # (floe_interactions.m:131)
 
 
 def reverse_polygons(verts: jnp.ndarray, nv: jnp.ndarray) -> jnp.ndarray:
@@ -224,6 +229,27 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
     arc_my_p = at(f_my, nxt_p) - f_my + wrap_p * myp_tot
     chord_p = at(pos, nxt_p[:, :, None]) - pos        # [B, C, 2]
 
+    # P-arc length + nonzero-segment count (for the reference's dl =
+    # mean on-boundary edge length, floe_interactions.m:126-131).  Padded
+    # (zero-length) edges never carry crossings and are excluded from the
+    # counts.
+    len_e = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)  # [B, Vp]
+    nz_e = (len_e > 0).astype(p.dtype)
+    z1 = jnp.zeros((b, 1), p.dtype)
+    lp = jnp.concatenate([z1, jnp.cumsum(len_e, axis=1)], axis=1)
+    np_ = jnp.concatenate([z1, jnp.cumsum(nz_e, axis=1)], axis=1)
+    len_at = (jnp.take_along_axis(lp, i_c, axis=1)
+              + t_c * jnp.take_along_axis(len_e, i_c, axis=1))
+    arc_len_p = at(len_at, nxt_p) - len_at + wrap_p * lp[:, -1:]
+    # segments: partial end of the start edge + full edges between + the
+    # partial start of the end edge (present only when its t > 0)
+    nz_c = jnp.take_along_axis(nz_e, i_c, axis=1)     # [B, C]
+    full_between = (at(jnp.take_along_axis(np_, i_c, axis=1), nxt_p)
+                    - jnp.take_along_axis(np_, i_c + 1, axis=1)
+                    + wrap_p * np_[:, -1:])
+    end_piece = at(nz_c * (t_c > 0).astype(p.dtype), nxt_p)
+    arc_cnt_p = nz_c + full_between + end_piece
+
     # Q-arc (delta = -1): w_c -> w at next-Q crossing.
     w2 = at(w_c, nxt_q)
     wrap_q = (w2 <= w_c).astype(p.dtype)
@@ -236,6 +262,8 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
     contrib_mx = jnp.where(inp, arc_mx_p, jnp.where(sel, arc_mx_q, 0.0))
     contrib_my = jnp.where(inp, arc_my_p, jnp.where(sel, arc_my_q, 0.0))
     contrib_ch = jnp.where(inp[:, :, None], chord_p, 0.0)
+    contrib_len = jnp.where(inp, arc_len_p, 0.0)
+    contrib_cnt = jnp.where(inp, arc_cnt_p, 0.0)
 
     # ---- reduce arcs into regions by orbit label ---------------------------
     onehot = ((lab[:, :, None] == slot[None, None, :]) & sel[:, :, None]
@@ -244,6 +272,8 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
     mx_r = jnp.einsum("bsr,bs->br", onehot, contrib_mx)
     my_r = jnp.einsum("bsr,bs->br", onehot, contrib_my)
     ch_r = jnp.einsum("bsr,bsk->brk", onehot, contrib_ch)
+    len_r = jnp.einsum("bsr,bs->br", onehot, contrib_len)
+    cnt_r = jnp.einsum("bsr,bs->br", onehot, contrib_cnt)
 
     root = (lab == slot[None]) & sel
     valid = root & consistent[:, None] & (area_r > 0)
@@ -257,4 +287,6 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
         valid=valid,
         consistent=consistent,
         n_cross=n_cross,
+        p_len=jnp.where(valid, len_r, 0.0),
+        p_cnt=jnp.where(valid, cnt_r, 0.0),
     )

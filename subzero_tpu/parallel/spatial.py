@@ -181,25 +181,28 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             nv=state.nv,
             nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
             domain_verts=None if periodic else domain_rep,
+            axis_names=(AXIS,),
         )
 
         if not periodic:
             bc = boundary_contact(
                 verts_loc, state.x, state.y, state.u, state.v, state.ksi,
                 state.h, state.area, state.alive, domain_rep, modulus, cfg,
-                nv=state.nv,
+                nv=state.nv, axis_names=(AXIS,),
             )
             # wall component zeroing applied inside boundary_contact
             b_fx, b_fy, b_px, b_py = bc.fx, bc.fy, bc.px, bc.py
             b_tq, b_sxx, b_syy, b_sxy = bc.tq, bc.sxx, bc.syy, bc.sxy
             b_overlap, b_absorb, b_out = bc.overlap, bc.absorb, bc.out
             b_rov = bc.region_overflow
+            b_need = bc.region_need
         else:
             zn = jnp.zeros_like(state.x)
             b_fx = b_fy = b_px = b_py = b_overlap = zn
             b_tq = b_sxx = b_syy = b_sxy = zn
             b_absorb = b_out = jnp.zeros_like(state.alive)
             b_rov = jnp.zeros((), bool)
+            b_need = jnp.zeros((), jnp.int32)
 
         f_valid = (jnp.abs(pc.fx) + jnp.abs(pc.fy)) > 0
         b_valid = (jnp.abs(b_fx) + jnp.abs(b_fy)) > 0
@@ -238,14 +241,24 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             state = state.replace(x=xw, y=yw)
 
         # ---- 4. migration --------------------------------------------
+        # Direction by MINIMUM-IMAGE offset from the slab center: a floe
+        # that wrapped across the torus seam (x: -lx -> +lx) is one hop to
+        # the LEFT neighbor on the ring, not n_shards-1 hops right — a
+        # naive x >= x_hi test would keep it mis-owned (contacts computed
+        # against the wrong halo) for several steps.
         if periodic:
             block_r = jnp.zeros((), bool)
             block_l = jnp.zeros((), bool)
+            slab_w = x_hi - x_lo
+            dx_c = state.x - 0.5 * (x_lo + x_hi)
+            dx_c = dx_c - 2 * lx * jnp.round(dx_c / (2 * lx))
+            go_right = state.alive & (dx_c >= 0.5 * slab_w)
+            go_left = state.alive & (dx_c < -0.5 * slab_w)
         else:
             block_r = s == n_shards - 1
             block_l = s == 0
-        go_right = state.alive & (state.x >= x_hi) & ~block_r
-        go_left = state.alive & (state.x < x_lo) & ~block_l
+            go_right = state.alive & (state.x >= x_hi) & ~block_r
+            go_left = state.alive & (state.x < x_lo) & ~block_l
         state, mig_of = _migrate(state, go_right, go_left, n_ghost,
                                  n_shards, periodic)
 
@@ -271,6 +284,8 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             pair_fx=pc.fx, pair_fy=pc.fy, pair_overlap=pc.overlap,
             boundary_contact=b_valid | (b_overlap > 0),
             region_overflow=jax.lax.psum((pc.region_overflow | b_rov).astype(jnp.int32), AXIS) > 0,
+            # pc/bc region_need are already globally psum'd (axis_names)
+            region_pool_need=pc.region_need + b_need,
         )
         return state, aux
 
@@ -285,6 +300,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         pair_valid=state_spec, pair_px=state_spec, pair_py=state_spec,
         pair_fx=state_spec, pair_fy=state_spec, pair_overlap=state_spec,
         boundary_contact=state_spec, region_overflow=P(),
+        region_pool_need=P(),
     )
 
     sharded = shard_map(

@@ -169,24 +169,27 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
             nv=state.nv,
             nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
             domain_verts=None if periodic else domain_rep,
+            axis_names=(AX, AY),
         )
 
         if not periodic:
             bc = boundary_contact(
                 verts_loc, state.x, state.y, state.u, state.v, state.ksi,
                 state.h, state.area, state.alive, domain_rep, modulus, cfg,
-                nv=state.nv)
+                nv=state.nv, axis_names=(AX, AY))
             # wall component zeroing applied inside boundary_contact
             b_fx, b_fy, b_px, b_py = bc.fx, bc.fy, bc.px, bc.py
             b_tq, b_sxx, b_syy, b_sxy = bc.tq, bc.sxx, bc.syy, bc.sxy
             b_overlap, b_absorb, b_out = bc.overlap, bc.absorb, bc.out
             b_rov = bc.region_overflow
+            b_need = bc.region_need
         else:
             zn = jnp.zeros_like(state.x)
             b_fx = b_fy = b_px = b_py = b_overlap = zn
             b_tq = b_sxx = b_syy = b_sxy = zn
             b_absorb = b_out = jnp.zeros_like(state.alive)
             b_rov = jnp.zeros((), bool)
+            b_need = jnp.zeros((), jnp.int32)
 
         f_valid = (jnp.abs(pc.fx) + jnp.abs(pc.fy)) > 0
         b_valid = (jnp.abs(b_fx) + jnp.abs(b_fy)) > 0
@@ -224,19 +227,33 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
             state = state.replace(x=xw, y=yw)
 
         # ---- 4. two-phase migration (x then y) -------------------------
+        # Periodic direction by MINIMUM-IMAGE offset from the tile center:
+        # a seam-wrapped floe is one hop to the wrapping neighbor, not
+        # s-1 hops the other way (see parallel/spatial.py).
         if periodic:
-            blk_r = blk_l = blk_u = blk_d = jnp.zeros((), bool)
+            tile_wx = x_hi - x_lo
+            dx_c = state.x - 0.5 * (x_lo + x_hi)
+            dx_c = dx_c - 2 * lx * jnp.round(dx_c / (2 * lx))
+            go_r = state.alive & (dx_c >= 0.5 * tile_wx)
+            go_l = state.alive & (dx_c < -0.5 * tile_wx)
         else:
             blk_r = ix == sx - 1
             blk_l = ix == 0
-            blk_u = iy == sy - 1
-            blk_d = iy == 0
-        go_r = state.alive & (state.x >= x_hi) & ~blk_r
-        go_l = state.alive & (state.x < x_lo) & ~blk_l
+            go_r = state.alive & (state.x >= x_hi) & ~blk_r
+            go_l = state.alive & (state.x < x_lo) & ~blk_l
         state, mig_of_x = _migrate(state, go_r, go_l, n_ghost, sx, periodic,
                                    axis=AX)
-        go_u = state.alive & (state.y >= y_hi) & ~blk_u
-        go_d = state.alive & (state.y < y_lo) & ~blk_d
+        if periodic:
+            tile_wy = y_hi - y_lo
+            dy_c = state.y - 0.5 * (y_lo + y_hi)
+            dy_c = dy_c - 2 * ly * jnp.round(dy_c / (2 * ly))
+            go_u = state.alive & (dy_c >= 0.5 * tile_wy)
+            go_d = state.alive & (dy_c < -0.5 * tile_wy)
+        else:
+            blk_u = iy == sy - 1
+            blk_d = iy == 0
+            go_u = state.alive & (state.y >= y_hi) & ~blk_u
+            go_d = state.alive & (state.y < y_lo) & ~blk_d
         state, mig_of_y = _migrate(state, go_u, go_d, n_ghost, sy, periodic,
                                    axis=AY)
 
@@ -267,6 +284,8 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
             boundary_contact=b_valid | (b_overlap > 0),
             region_overflow=psum2(
                 (pc.region_overflow | b_rov).astype(jnp.int32)) > 0,
+            # pc/bc region_need are already globally psum'd (axis_names)
+            region_pool_need=pc.region_need + b_need,
         )
         return state, aux
 
@@ -283,6 +302,7 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
         pair_valid=spec, pair_px=spec, pair_py=spec,
         pair_fx=spec, pair_fy=spec, pair_overlap=spec,
         boundary_contact=spec, region_overflow=P(),
+        region_pool_need=P(),
     )
     sharded = shard_map(
         shard_fn, mesh=mesh,

@@ -93,20 +93,25 @@ def grind_floe(view: HostView, i: int, grind_mask: np.ndarray,
     if not remainder:
         return
     remainder.sort(key=poly_area, reverse=True)
-    main = remainder[0]
 
-    a_main = poly_area(main)
+    # All remainder regions survive as pieces (frac_corner.m:89: R1 collects
+    # every region of poly1 and poly2 above 10 m^2), not just the largest.
+    a_rem = sum(poly_area(r) for r in remainder)
     a_tris = sum(hg.area(t) for t in triangles)
-    a_tot = a_main + a_tris
+    a_tot = a_rem + a_tris
 
     edit.kills.add(i)
-    pieces = [main] + triangles
+    pieces = remainder + triangles
     for piece in pieces:
         a_p = abs(hg.area(piece))
-        if a_p < 1e4:
-            # born dead -> dissolved (frac_corner.m:113-115)
-            continue
         share = a_p / a_tot
+        if a_p < 1e4:
+            # born dead -> dissolved (frac_corner.m:113-115): bin the mass
+            # share so the ledger stays closed (calc_dissolved_mass.m)
+            c = hg.centroid(piece)
+            edit.dissolve_mass.append(
+                (float(c[0]), float(c[1]), float(view.mass[i] * share)))
+            continue
         edit.new_floes.append(NewFloe(
             poly=piece, h=0.0,
             mass=view.mass[i] * share,

@@ -162,15 +162,23 @@ def fracture_pass(
             continue
 
         area_parent = view.area[i]
-        h_parent = view.h[i]
         edit.kills.add(i)
-        for piece in pieces:
-            a_p = poly_area(piece)
+        # Equal thickness -> mass proportional to area (fracture_floe.m:82).
+        # Shares are taken against the PARENT area, so the plastic-
+        # deformation clip's area loss (up to 10%) shows up as a mass
+        # remainder, binned to dissolved: the ledger stays exactly closed.
+        a_pieces = [max(poly_area(p), 0.0) for p in pieces]
+        m_lost = float(view.mass[i] * (1.0 - sum(a_pieces) / area_parent))
+        if m_lost > 0:
+            edit.dissolve_mass.append(
+                (float(view.x[i]), float(view.y[i]), m_lost))
+        for piece, a_p in zip(pieces, a_pieces):
             if a_p <= 0:
                 continue
             edit.new_floes.append(NewFloe(
                 poly=piece,
-                h=h_parent,      # equal thickness: mass prop. to area (:82)
+                h=0.0,
+                mass=float(view.mass[i] * a_p / area_parent),
                 u=view.u[i], v=view.v[i], ksi=view.ksi[i],
                 dx_p=view.dx_p[i], dy_p=view.dy_p[i],
                 du_p=view.du_p[i], dv_p=view.dv_p[i],

@@ -50,19 +50,27 @@ class Lifecycle:
         self.pack_target = pack_target
         self.nx = nx
         self.ny = ny
+        # mass pushed out of the domain by boundary ridging (ridge.m:79,110):
+        # exported, not dissolved — tracked so the total ledger
+        # floes + dissolved + exported stays closed
+        self.exported_mass = 0.0
 
     # ------------------------------------------------------------------
 
     def step(self, state: FloeState, aux, step_idx: int,
-             dissolved: np.ndarray
+             dissolved: np.ndarray,
+             merge_pairs: "list[tuple[int, int]] | None" = None,
              ) -> tuple[FloeState, np.ndarray, bool]:
         """Fire all due processes; returns (new_state, dissolved_grid,
-        changed)."""
+        changed).  ``merge_pairs``: (absorbee, partner) overlap>0.55 pairs
+        OR'd across the whole device chunk (each resolved against its own
+        step's neighbor table); when None they are derived from ``aux``
+        (last step only)."""
         cfg = self.cfg
         proc = cfg.processes
         due = lambda k: k > 0 and step_idx % k == 0  # noqa: E731
 
-        want_merge = aux is not None
+        want_merge = aux is not None or merge_pairs is not None
         want_ridge = proc.ridging and due(proc.n_ocean_force)
         want_raft = proc.rafting and due(proc.n_ocean_force)
         want_frac = proc.fractures and due(proc.n_fracture)
@@ -73,7 +81,15 @@ class Lifecycle:
                     and weld_schedule(step_idx, cfg, self.amax)) or None
         # (the every-step small-floe cull runs device-side in physics_step)
         if want_merge:
-            want_merge = bool(np.any(np.asarray(aux.merge_i)))
+            if merge_pairs is None and aux is not None:
+                merge_i = np.asarray(aux.merge_i)
+                if merge_i.any():
+                    nbr = np.asarray(aux.nbr_idx)
+                    merge_pairs = [
+                        (int(i), int(nbr[i, k]))
+                        for i, k in zip(*np.nonzero(merge_i))
+                    ]
+            want_merge = bool(merge_pairs)
 
         if not any([want_merge, want_ridge, want_raft, want_frac,
                     want_corner, want_simp, want_pack, weld_due]):
@@ -86,7 +102,7 @@ class Lifecycle:
 
         # ---- contact-flagged merges (floe_interactions_all.m:470-501) ----
         if want_merge:
-            self._merges_from_aux(view, aux, edit)
+            self._merges_from_pairs(view, merge_pairs, edit)
 
         if want_ridge:
             edit.merge(self._guarded(view, edit, lambda v: ridge_raft_pass(
@@ -121,16 +137,25 @@ class Lifecycle:
                 lambda v: simplify_pass(v, cfg, boundary_polys)))
 
         if want_pack:
+            # coverage from the device scatter kernel (row 0 = north):
+            # skips the per-(cell, floe) native concentration loop
+            from ..diagnostics import coverage_fraction
+
+            conc = coverage_fraction(state, cfg, self.nx, self.ny)
             edit.merge(self._guarded(view, edit, lambda v: pack_pass(
                 v, cfg, self.rng, self.pack_h0, self.pack_target,
-                self.nx, self.ny)))
+                self.nx, self.ny, conc=conc)))
 
         # ---- dissolved-mass bookkeeping ----------------------------------
         for i in edit.dissolve_kills:
             dissolved = self._bin_mass(dissolved, view.x[i], view.y[i],
                                        view.mass[i])
+        for mx, my, m in edit.dissolve_mass:
+            dissolved = self._bin_mass(dissolved, mx, my, m)
+        self.exported_mass += edit.export_mass
 
-        changed = not edit.empty
+        changed = bool(edit.kills or edit.dissolve_kills or edit.new_floes
+                       or edit.updates or edit.reshapes)
         state = apply_edits(state, edit, cfg,
                             seed=int(self.rng.integers(2**31)))
         return state, dissolved, changed
@@ -145,16 +170,12 @@ class Lifecycle:
         with view.masked(dead_slots=touched):
             return fn(view)
 
-    def _merges_from_aux(self, view, aux, edit: StateEdit) -> None:
+    def _merges_from_pairs(self, view, pairs, edit: StateEdit) -> None:
         """overlap>0.55 fusion kills: the flagged floe is absorbed into its
         partner when large enough, else dissolved."""
         cfg = self.cfg
-        merge_i = np.asarray(aux.merge_i)
-        nbr = np.asarray(aux.nbr_idx)
         done: set[int] = set()
-        for i, k in zip(*np.nonzero(merge_i)):
-            j = int(nbr[i, k])
-            i = int(i)
+        for i, j in pairs:
             if i in done or j in done:
                 continue
             if not (view.alive[i] and view.alive[j]):

@@ -41,7 +41,13 @@ def _loser_update(view: HostView, loser: int, winner_poly: np.ndarray,
     regions = [c for c in res if poly_area(c) > cfg.processes.min_region_area]
     m_left = view.mass[loser] - v_lost * rho
     if not regions or m_left <= 0:
-        edit.dissolve_kills.add(loser)
+        # The winner already absorbed v_lost*rho of the loser's mass: kill
+        # the slot and bin only the REMAINDER to dissolved (a dissolve_kill
+        # would bin the full mass and double-count the transferred volume).
+        edit.kills.add(loser)
+        if m_left > 0:
+            edit.dissolve_mass.append(
+                (float(view.x[loser]), float(view.y[loser]), float(m_left)))
         return
     regions.sort(key=poly_area, reverse=True)
     a_tot = sum(poly_area(c) for c in regions)
@@ -183,7 +189,9 @@ def ridge_raft_pass(
             continue
         regions.sort(key=poly_area, reverse=True)
         a_tot = sum(poly_area(c) for c in regions)
-        # mass of the outside sliver is lost to the boundary (ridge.m:79,110)
+        # the FULL floe mass redistributes over the kept in-domain regions
+        # (ridge.m:110: mass = area/Atot*Floe1.mass): the floe thickens —
+        # ridging against the wall conserves mass
         edit.reshapes[i] = (
             regions[0], poly_area(regions[0]) / a_tot * view.mass[i]
         )

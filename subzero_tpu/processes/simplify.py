@@ -33,7 +33,8 @@ def douglas_peucker(poly: np.ndarray, tol: float) -> np.ndarray:
         if lab < 1e-30:
             d = np.linalg.norm(pts[1:-1] - a, axis=1)
         else:
-            d = np.abs(np.cross(ab, pts[1:-1] - a)) / lab
+            rel = pts[1:-1] - a
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / lab
         imax = int(np.argmax(d))
         if d[imax] <= tol:
             return np.array([a, b])

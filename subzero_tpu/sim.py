@@ -166,9 +166,11 @@ class Simulation:
             done += n
             # host-side lifecycle at the chunk boundary
             aux_last = jax.tree_util.tree_map(lambda a: a[n - 1], auxes)
+            merge_pairs = chunk_merge_pairs(auxes, n)
             dis_np = np.asarray(dissolved)
             self.state, dis_np, changed = self.lifecycle.step(
-                self.state, aux_last, self.step_idx, dis_np
+                self.state, aux_last, self.step_idx, dis_np,
+                merge_pairs=merge_pairs,
             )
             if changed and self.mesh is not None:
                 from .parallel import rebalance_slabs, shard_state
@@ -177,6 +179,34 @@ class Simulation:
                     rebalance_slabs(self.state, self.cfg, self._n_shards),
                     self.mesh)
             dissolved = jnp.asarray(dis_np, self.state.x.dtype)
+            if self.cfg.processes.advect_dissolved:
+                # Advect-diffuse the dissolved field (Advect_Dissolved_Ice.m;
+                # carried disabled by the reference driver, Subzero.m:359)
+                from .dissolved import advect_dissolved
+
+                tend = getattr(self, "_vd_tend", None)
+                if tend is None:
+                    tend = jnp.zeros_like(dissolved)
+                for _ in range(n):
+                    dissolved, tend = advect_dissolved(
+                        dissolved, tend, self.forcing, self.cfg,
+                        self.cfg.numerics.dt, self.nx_coarse, self.ny_coarse)
+                self._vd_tend = tend
+            # Surface per-region pool overflow: those steps fell back to
+            # aggregate contacts (physics degradation — raise
+            # ContactConfig.region_pair_frac if this keeps firing).
+            n_rov = int(np.sum(np.asarray(auxes.region_overflow[:n])))
+            if n_rov:
+                self.region_overflow_steps = (
+                    getattr(self, "region_overflow_steps", 0) + n_rov)
+                if not getattr(self, "_rov_warned", False):
+                    self._rov_warned = True
+                    print(
+                        f"[sim] WARNING step {self.step_idx}: per-region "
+                        f"pool overflow — {n_rov} step(s) fell back to "
+                        "aggregate contacts (raise ContactConfig."
+                        "region_pair_frac)"
+                    )
             if self.output_dir is not None:
                 self._auto_output()
             if on_chunk is not None:
@@ -220,8 +250,15 @@ class Simulation:
             eul = {k: np.asarray(v)
                    for k, v in self.eulerian()._asdict().items()}
         np.savez_compressed(snap / "eulerian.npz", **eul)
-        # total-mass series (Subzero.m:294-295)
-        series = getattr(self, "_mass_series", [])
+        # total-mass series (Subzero.m:294-295); continue an existing
+        # on-disk series across checkpoint resumes
+        series = getattr(self, "_mass_series", None)
+        if series is None:
+            series = []
+            prior = out / "mass_series.npy"
+            if prior.exists():
+                series = [tuple(row) for row in np.load(prior)
+                          if row[0] < self.step_idx]
         series.append((self.step_idx, self.total_mass(),
                        float(np.sum(self.dissolved if self.dissolved
                                     is not None else 0.0))))
@@ -326,6 +363,24 @@ class Simulation:
         )
 
 
+def chunk_merge_pairs(auxes: StepAux, n: int
+                      ) -> "list[tuple[int, int]] | None":
+    """(absorbee, partner) merge pairs OR'd across a whole device chunk.
+
+    The reference fuses >55%-overlap pairs EVERY step
+    (floe_interactions_all.m:470-501); flags raised at any step of the chunk
+    must not be dropped just because the overlap cleared by the last step —
+    each flag is resolved against its own step's neighbor table."""
+    mi = np.asarray(auxes.merge_i[:n])
+    if not mi.any():
+        return None
+    nbr = np.asarray(auxes.nbr_idx[:n])
+    s_t, i_t, k_t = np.nonzero(mi)
+    return list(dict.fromkeys(
+        (int(i), int(nbr[s, i, k]))
+        for s, i, k in zip(s_t, i_t, k_t)))
+
+
 def _pad_domain(rect: np.ndarray, v_cap: int = 8):
     from .geometry.polygon import pad_polygon
 
@@ -352,6 +407,7 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         pair_px=zk, pair_py=zk, pair_fx=zk, pair_fy=zk, pair_overlap=zk,
         boundary_contact=jnp.zeros((n,), bool),
         region_overflow=jnp.zeros((), bool),
+        region_pool_need=jnp.zeros((), jnp.int32),
     )
 
 

@@ -138,3 +138,22 @@ def test_per_region_closes_the_gap():
     assert med < 1e-9, "consistent decompositions must match to roundoff"
     assert p90 < 0.02
     assert big <= max(3, checked // 15)
+
+
+def test_reference_edge_mean_length_scale():
+    """ContactConfig.region_dl='edge_mean' uses the reference's exact
+    tangential length scale dl = mean on-boundary edge length
+    (floe_interactions.m:126-131) instead of the chord norm.  Measured
+    (2026-08-20, f64, region_cap=16): median 1.5e-15, p90 5.3e-3 (vs
+    5.9e-3 chord) — the residual outliers are the displace-and-reclip
+    direction quirk, not the length scale."""
+    cfg = dataclasses.replace(
+        _BASE, contact=ContactConfig(per_region=True, region_cap=16,
+                                     region_dl="edge_mean"))
+    rel_err, multi_region, checked = _ensemble_errors(cfg)
+    assert checked >= 25
+    med = float(np.median(rel_err))
+    p90 = float(np.quantile(rel_err, 0.9))
+    assert med < 1e-9
+    assert p90 < 0.02
+    assert int((rel_err > 0.05).sum()) <= max(3, checked // 15)
