@@ -33,6 +33,10 @@ PER_REGION = os.environ.get("BENCH_PER_REGION", "1") == "1"
 N_SERIAL = int(os.environ.get("BENCH_SERIAL_FLOES", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 SERIAL_STEPS = int(os.environ.get("BENCH_SERIAL_STEPS", 5))
+# second workload: interlocking concave stars (per-region decomposition
+# actually fires); pool fraction sized from the measured demand
+CONCAVE = os.environ.get("BENCH_CONCAVE", "1") == "1"
+CONCAVE_FRAC = float(os.environ.get("BENCH_CONCAVE_FRAC", 0.5))
 
 
 def _enable_compile_cache():
@@ -90,6 +94,95 @@ def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
     forcing = uniform_forcing(lx=4 * lx, dx=lx / 8, uo=0.1,
                               dtype=jnp.dtype(dtype))
     return cfg, state, forcing
+
+
+def build_concave(n_floes: int, dtype: str = "float32",
+                  frac: float = 0.25):
+    """Interlocking concave star lattice: every contact is multi-crossing,
+    so the per-region decomposition actually fires (round-2 VERDICT weak
+    #4: the dense-quad workload never exercises it).  ``frac`` sets the
+    decomposition pool (ContactConfig.region_pair_frac)."""
+    import jax.numpy as jnp
+
+    from subzero_tpu import SimConfig
+    from subzero_tpu.config import (
+        CapacityConfig, ContactConfig, DomainConfig, NumericsConfig,
+        ProcessConfig,
+    )
+    from subzero_tpu.forcing import uniform_forcing
+    from subzero_tpu.state import state_from_polygons
+
+    side = int(np.ceil(np.sqrt(n_floes)))
+    pitch = 4000.0
+    lx = side * pitch / 2
+    cap = int(np.ceil(n_floes / 8)) * 8
+    cfg = SimConfig(
+        capacity=CapacityConfig(
+            max_floes=cap, max_verts=16, max_neighbors=8,
+            n_mc_points=256, stress_window=100,
+        ),
+        numerics=NumericsConfig(dtype=dtype, contact_impl=IMPL),
+        domain=DomainConfig(lx=lx, ly=lx),
+        processes=ProcessConfig(periodic=True),
+        contact=ContactConfig(per_region=True, region_pair_frac=frac),
+    )
+    rng = np.random.default_rng(0)
+    polys = []
+    for k in range(n_floes):
+        i, j = divmod(k, side)
+        center = np.array([
+            -lx + (j + 0.5) * pitch, -lx + (i + 0.5) * pitch,
+        ])
+        n_arms = int(rng.integers(5, 9))            # 10-16 verts (cap 16)
+        nv = 2 * n_arms
+        th = (np.linspace(0, 2 * np.pi, nv + 1)[:-1]
+              + rng.uniform(0, np.pi / nv))
+        r = 0.45 * pitch * (
+            1 + 0.45 * np.where(np.arange(nv) % 2 == 0, 1.0, -1.0)
+            + rng.uniform(-0.1, 0.1, nv))
+        polys.append(np.stack([center[0] + r * np.cos(th),
+                               center[1] + r * np.sin(th)], axis=1))
+    vel = rng.uniform(-0.1, 0.1, size=(n_floes, 2))
+    state = state_from_polygons(polys, 0.5, cfg, velocities=vel)
+    forcing = uniform_forcing(lx=4 * lx, dx=lx / 8, uo=0.1,
+                              dtype=jnp.dtype(dtype))
+    return cfg, state, forcing
+
+
+def measure_concave(n_floes: int, steps: int, device=None,
+                    frac: float = 0.25):
+    """(floe-steps/s, pool_need_max, pool_capacity, overflowed) on the
+    concave star workload with the per-region pool at ``frac``."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from subzero_tpu.dynamics import make_step_fn
+
+    cfg, state, forcing = build_concave(n_floes, frac=frac)
+    if device is not None:
+        state = jax.device_put(state, device)
+        forcing = jax.device_put(forcing, device)
+    step = make_step_fn(cfg, forcing, 1.6e8)
+    t0 = time.time()
+    s, aux = step(state, jnp.asarray(0))
+    jax.block_until_ready(s.x)
+    compile_s = time.time() - t0
+    print(f"[bench] concave frac={frac} compile {compile_s:.1f}s",
+          file=sys.stderr, flush=True)
+    need_max = int(aux.region_pool_need)
+    overflow = bool(aux.region_overflow)
+    t0 = time.time()
+    for i in range(1, steps + 1):
+        s, aux = step(s, jnp.asarray(i))
+    jax.block_until_ready(s.x)
+    dt = time.time() - t0
+    need_max = max(need_max, int(aux.region_pool_need))
+    overflow = overflow or bool(aux.region_overflow)
+    p = n_floes * cfg.capacity.max_neighbors
+    pool = min(p, max(64, math.ceil(p * frac)))
+    return n_floes * steps / dt, need_max, pool, overflow, compile_s
 
 
 def measure(n_floes: int, steps: int, device=None):
@@ -165,6 +258,24 @@ def main():
         "pairs_per_s": round(pairs_s, 1),
         "compile_s": round(compile_s, 1),
     }
+
+    if CONCAVE:
+        # Concave star workload: the per-region decomposition fires on
+        # nearly every contact.  Report throughput + pool sizing.
+        try:
+            c_rate, need, pool, ovf, c_comp = measure_concave(
+                N_FLOES, max(10, STEPS // 3), dev, frac=CONCAVE_FRAC)
+            out["concave"] = {
+                "floe_steps_per_s": round(c_rate, 1),
+                "pool_frac": CONCAVE_FRAC,
+                "pool_slots": pool,
+                "pool_need_max": need,
+                "overflow": ovf,
+                "compile_s": round(c_comp, 1),
+            }
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] concave workload failed: {e}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

@@ -19,6 +19,7 @@ Design deltas (documented for parity review):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -67,32 +68,29 @@ def cell_grid(cfg: SimConfig, nx: int, ny: int):
     return jnp.asarray(cells), jnp.asarray(centers), cell_area
 
 
-def _floe_cell_areas(state: FloeState, cells, centers, cfg: SimConfig):
-    """Exact intersection area of every floe with every cell, [N, C].
+def _cell_block_areas(state: FloeState, verts, pos, cells, centers,
+                      cfg: SimConfig):
+    """Exact intersection area of every floe with a BLOCK of cells,
+    [N, Cb].
 
     Broad-phased by bounding circles (calc_eulerian_data.m:127-133); under
     periodicity each floe is evaluated at its minimum image w.r.t. the cell
     center.
     """
-    n = state.n
-    c = cells.shape[0]
-    verts = state.verts_rot()                      # [N, V, 2] about centroid
-    pos = jnp.stack([state.x, state.y], axis=-1)   # [N, 2]
-
-    dxy = centers[None, :, :] - pos[:, None, :]    # [N, C, 2]
+    dxy = centers[None, :, :] - pos[:, None, :]    # [N, Cb, 2]
     if cfg.processes.periodic:
         ll = jnp.asarray([cfg.domain.lx, cfg.domain.ly], pos.dtype)
         shift = 2.0 * ll * jnp.round(dxy / (2.0 * ll))
     else:
         shift = jnp.zeros_like(dxy)
-    eff_pos = pos[:, None, :] + shift              # [N, C, 2]
+    eff_pos = pos[:, None, :] + shift              # [N, Cb, 2]
 
     r_cell = jnp.sqrt(jnp.sum((cells[:, 2] - cells[:, 0]) ** 2, axis=-1)) / 2
     d2 = jnp.sum((eff_pos - centers[None]) ** 2, axis=-1)
     near = d2 < (state.rmax[:, None] + r_cell[None, :]) ** 2
     near = near & state.alive[:, None]
 
-    world = verts[:, None, :, :] + eff_pos[:, :, None, :]   # [N, C, V, 2]
+    world = verts[:, None, :, :] + eff_pos[:, :, None, :]   # [N, Cb, V, 2]
 
     def one(floe_world, cell):
         return jnp.maximum(_overlap_one(floe_world, cell).area, 0.0)
@@ -100,6 +98,117 @@ def _floe_cell_areas(state: FloeState, cells, centers, cfg: SimConfig):
     areas = jax.vmap(jax.vmap(one, in_axes=(0, 0)),
                      in_axes=(0, None))(world, cells)
     return jnp.where(near, areas, 0.0)
+
+
+def _cell_block_size(n: int, v: int, c: int) -> int:
+    """Cells per block so the [N, Cb, V, 2] clip buffer stays ~64 MB f32:
+    at 10k floes x 40x40 cells the unblocked buffer is multi-GB
+    (round-2 VERDICT weak #8)."""
+    cb = max(1, (1 << 23) // max(n * v, 1))
+    return min(c, cb)
+
+
+def _eulerian_sums_scatter(state: FloeState, cfg: SimConfig, nx: int,
+                           ny: int, wx: int, wy: int, fields, m_over_a,
+                           is_b):
+    """Per-cell sums via floe->cell scatter: each floe clips only against
+    the wx x wy window of cells its bounding circle can touch, instead of
+    the dense [N, C] product — O(N * w^2) clips, the production path at
+    10k floes x 40x40+ grids.  Requires a concrete (host-chosen) window.
+
+    Returns [C, F+4]: weighted field sums, atot, a_bound, n_contrib,
+    overlap_sum — identical to the dense/blocked reduction.
+    """
+    lx, ly = cfg.domain.lx, cfg.domain.ly
+    dxc = 2 * lx / nx
+    dyc = 2 * ly / ny
+    n = state.n
+    dtype = state.x.dtype
+    verts = state.verts_rot()                       # [N, V, 2] local
+    pos = jnp.stack([state.x, state.y], axis=-1)
+
+    # home cell (row 0 = north)
+    ic = jnp.floor((state.x + lx) / dxc).astype(jnp.int32)
+    jc = jnp.floor((ly - state.y) / dyc).astype(jnp.int32)
+    di = jnp.arange(wx, dtype=jnp.int32) - wx // 2
+    dj = jnp.arange(wy, dtype=jnp.int32) - wy // 2
+    ix = ic[:, None, None] + di[None, None, :]       # [N, 1, wx]
+    iy = jc[:, None, None] + dj[None, :, None]       # [N, wy, 1]
+    ix = jnp.broadcast_to(ix, (n, wy, wx)).reshape(n, wy * wx)
+    iy = jnp.broadcast_to(iy, (n, wy, wx)).reshape(n, wy * wx)
+
+    if cfg.processes.periodic:
+        valid = jnp.broadcast_to(state.alive[:, None], ix.shape)
+    else:
+        valid = (state.alive[:, None] & (ix >= 0) & (ix < nx)
+                 & (iy >= 0) & (iy < ny))
+
+    # cell rectangle at the UNWRAPPED index, in the floe-local frame (this
+    # makes the periodic minimum image automatic: the floe sees the tiling)
+    x0 = -lx + ix.astype(dtype) * dxc - state.x[:, None]
+    y1 = ly - iy.astype(dtype) * dyc - state.y[:, None]
+    y0 = y1 - dyc
+    zeros = jnp.zeros_like(x0)
+    rect = jnp.stack([
+        jnp.stack([x0, y0], -1), jnp.stack([x0 + dxc, y0], -1),
+        jnp.stack([x0 + dxc, y1], -1), jnp.stack([x0, y1], -1),
+    ], axis=-2)                                      # [N, K, 4, 2]
+
+    def one(floe_local, cell):
+        return jnp.maximum(_overlap_one(floe_local, cell).area, 0.0)
+
+    areas = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(verts, rect)
+    areas = jnp.where(valid, areas, 0.0)             # [N, K]
+
+    a_floe = jnp.where(is_b[:, None], 0.0, areas)
+    a_bound = jnp.where(is_b[:, None], areas, 0.0)
+    w = a_floe * m_over_a[:, None]
+    contrib = (a_floe > 0).astype(dtype)
+    over = contrib * state.overlap_area[:, None]
+
+    flat = ((iy % ny) * nx + (ix % nx)).reshape(-1)   # [N*K]
+    n_f = fields.shape[1]
+    # [N, K, F+4] contributions -> scatter-add into [C, F+4]
+    contribs = jnp.concatenate([
+        w[:, :, None] * fields[:, None, :],
+        a_floe[:, :, None], a_bound[:, :, None],
+        contrib[:, :, None], over[:, :, None],
+    ], axis=2).reshape(-1, n_f + 4)
+    out = jnp.zeros((ny * nx, n_f + 4), dtype).at[flat].add(contribs)
+    return out
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _eulerian_scatter_jit(state, cfg, nx, ny, wx, wy, fields, m_over_a,
+                          is_b):
+    return _eulerian_sums_scatter(state, cfg, nx, ny, wx, wy, fields,
+                                  m_over_a, is_b)
+
+
+def coverage_fraction(state: FloeState, cfg: SimConfig, nx: int, ny: int
+                      ) -> np.ndarray:
+    """Ice coverage (ALL floes incl. topography) / cell area, [ny, nx] with
+    row 0 = north — the packing concentration of create_new_ice.m:109-125,
+    computed with the device scatter kernel instead of per-(cell, floe)
+    native boolean calls (round-3 host-lifecycle scaling).
+    """
+    n = state.n
+    dtype = state.x.dtype
+    fields = jnp.ones((n, 1), dtype)
+    m_over_a = jnp.zeros((n,), dtype)
+    is_b = jnp.zeros((n,), bool)      # count topography as coverage
+    alive_np = np.asarray(state.alive)
+    rmax_np = np.asarray(state.rmax)[alive_np]
+    r_big = float(rmax_np.max()) if rmax_np.size else 0.0
+    hx = int(np.ceil(r_big / (2 * cfg.domain.lx / nx))) + 1
+    hy = int(np.ceil(r_big / (2 * cfg.domain.ly / ny))) + 1
+    wx = min(2 * hx + 1, nx if cfg.processes.periodic else 2 * nx)
+    wy = min(2 * hy + 1, ny if cfg.processes.periodic else 2 * ny)
+    out = _eulerian_scatter_jit(state, cfg, nx, ny, wx, wy, fields,
+                                m_over_a, is_b)
+    cell_area = (2 * cfg.domain.lx / nx) * (2 * cfg.domain.ly / ny)
+    atot = np.asarray(out[:, 1]).reshape(ny, nx)
+    return atot / cell_area
 
 
 def _boundary_union_cell_areas(state: FloeState, cfg: SimConfig, cells,
@@ -126,19 +235,87 @@ def _boundary_union_cell_areas(state: FloeState, cfg: SimConfig, cells,
 
 def eulerian_data(state: FloeState, cfg: SimConfig, nx: int = 10,
                   ny: int = 10) -> EulerianData:
-    """Mass-weighted coarse averages (calc_eulerian_data.m:136-187)."""
+    """Mass-weighted coarse averages (calc_eulerian_data.m:136-187).
+
+    Scales to 10k+ floes x 40x40+ cells: cells are processed in fixed-size
+    blocks (``lax.map``), and all per-cell sums reduce inside the block as
+    ONE [Cb, N] x [N, F] matmul — the [N, C] floe-cell matrix is never
+    materialized and the reduction rides the MXU.
+    """
     cells, centers, cell_area = cell_grid(cfg, nx, ny)
-    areas = _floe_cell_areas(state, cells, centers, cfg)   # [N, C]
-
+    c = cells.shape[0]
+    n = state.n
     n_b = cfg.n_boundary
-    is_b = jnp.arange(state.n) < n_b
-    a_floe = jnp.where(is_b[:, None], 0.0, areas)
-    a_bound = jnp.where(is_b[:, None], areas, 0.0)
+    is_b = jnp.arange(n) < n_b
+    verts = state.verts_rot()                      # [N, V, 2] about centroid
+    pos = jnp.stack([state.x, state.y], axis=-1)   # [N, 2]
+    dtype = pos.dtype
 
-    # weight = mass * Aover / A (mass of floe portion in the cell)
-    w = a_floe * (state.mass / state.area)[:, None]         # [N, C]
-    mtot = jnp.sum(w, axis=0)                               # [C]
-    atot = jnp.sum(a_floe, axis=0)
+    # per-floe field matrix [N, F]: 1 (-> mtot), u, v, du, dv, h,
+    # stress(3), strain(3)
+    fields = jnp.stack([
+        jnp.ones((n,), dtype), state.u, state.v, state.du_p, state.dv_p,
+        state.h, state.stress[:, 0], state.stress[:, 1], state.stress[:, 2],
+        state.strain[:, 0], state.strain[:, 1], state.strain[:, 2],
+    ], axis=1)
+    n_f = fields.shape[1]
+    m_over_a = jnp.where(is_b, 0.0, state.mass / jnp.maximum(state.area,
+                                                             1e-30))
+    overlap = state.overlap_area
+
+    concrete = not isinstance(state.x, jax.core.Tracer)
+    if concrete:
+        # Host-cadence call: size the scatter window from the live rmax and
+        # clip each floe only against its own cells — O(N w^2) not O(N C).
+        alive_np = np.asarray(state.alive)
+        rmax_np = np.asarray(state.rmax)[alive_np]
+        r_big = float(rmax_np.max()) if rmax_np.size else 0.0
+        hx = int(np.ceil(r_big / (2 * cfg.domain.lx / nx))) + 1
+        hy = int(np.ceil(r_big / (2 * cfg.domain.ly / ny))) + 1
+        wx = min(2 * hx + 1, nx if cfg.processes.periodic else 2 * nx)
+        wy = min(2 * hy + 1, ny if cfg.processes.periodic else 2 * ny)
+        out = _eulerian_scatter_jit(
+            state, cfg, nx, ny, wx, wy, fields, m_over_a, is_b)
+    else:
+        # Traced fallback: dense floe x cell clip in fixed-size cell blocks
+        # (the [N, C, V, 2] buffer is never materialized whole).
+        cb = _cell_block_size(n, verts.shape[1], c)
+        n_blocks = -(-c // cb)
+        pad = n_blocks * cb - c
+        cells_b = jnp.concatenate(
+            [cells, jnp.zeros((pad,) + cells.shape[1:], dtype)]
+        ).reshape(n_blocks, cb, 4, 2)
+        centers_b = jnp.concatenate(
+            [centers, jnp.full((pad, 2), 1e30, dtype)]
+        ).reshape(n_blocks, cb, 2)
+
+        def block(args):
+            cls, ctr = args
+            areas = _cell_block_areas(state, verts, pos, cls, ctr,
+                                      cfg)                 # [N, Cb]
+            a_floe = jnp.where(is_b[:, None], 0.0, areas)
+            a_bound = jnp.where(is_b[:, None], areas, 0.0)
+            w = a_floe * m_over_a[:, None]                 # [N, Cb]
+            sums = w.T @ fields                            # [Cb, F]  (MXU)
+            atot = jnp.sum(a_floe, axis=0)
+            ab = jnp.sum(a_bound, axis=0)
+            contrib = a_floe > 0
+            n_contrib = jnp.sum(contrib.astype(dtype), axis=0)
+            over_sum = jnp.sum(jnp.where(contrib, overlap[:, None], 0.0),
+                               axis=0)
+            return jnp.concatenate(
+                [sums, atot[:, None], ab[:, None], n_contrib[:, None],
+                 over_sum[:, None]], axis=1)               # [Cb, F+4]
+
+        out = jax.lax.map(block, (cells_b, centers_b))     # [nb, Cb, F+4]
+        out = out.reshape(n_blocks * cb, n_f + 4)[:c]
+    sums = out[:, :n_f]
+    atot = out[:, n_f]
+    a_bound_tot = out[:, n_f + 1]
+    n_contrib = jnp.maximum(out[:, n_f + 2], 1.0)
+    over = out[:, n_f + 3] / n_contrib
+
+    mtot = sums[:, 0]
     denom = jnp.where(mtot > 0, mtot, 1.0)
 
     # Cell area minus the boundary-floe UNION (calc_eulerian_data.m:144-149
@@ -151,22 +328,14 @@ def eulerian_data(state: FloeState, cfg: SimConfig, nx: int = 10,
             b_union = _boundary_union_cell_areas(state, cfg, cells, n_b)
             eff_cell_area = jnp.maximum(cell_area - b_union, 1e-12)
         except jax.errors.TracerArrayConversionError:
-            eff_cell_area = jnp.maximum(
-                cell_area - jnp.sum(a_bound, axis=0), 1e-12)
+            eff_cell_area = jnp.maximum(cell_area - a_bound_tot, 1e-12)
     else:
-        eff_cell_area = jnp.asarray(cell_area, areas.dtype)
+        eff_cell_area = jnp.asarray(cell_area, dtype)
 
-    def avg(field):
-        return jnp.sum(w * field[:, None], axis=0) / denom
+    def avg(k):
+        return sums[:, k] / denom
 
-    contrib = a_floe > 0
-    n_contrib = jnp.maximum(jnp.sum(contrib, axis=0), 1)
-    over = jnp.sum(jnp.where(contrib, state.overlap_area[:, None], 0.0),
-                   axis=0) / n_contrib
-
-    sxx = avg(state.stress[:, 0])
-    syy = avg(state.stress[:, 1])
-    sxy = avg(state.stress[:, 2])
+    sxx, syy, sxy = avg(6), avg(7), avg(8)
     # max eigenvalue of the symmetric 2x2 (calc_eulerian_data.m:180-183)
     tr2 = 0.5 * (sxx + syy)
     disc = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))
@@ -177,19 +346,18 @@ def eulerian_data(state: FloeState, cfg: SimConfig, nx: int = 10,
         return x.reshape(ny, nx)
 
     return EulerianData(
-        u=grid(avg(state.u)),
-        v=grid(avg(state.v)),
-        du=grid(avg(state.du_p)),
-        dv=grid(avg(state.dv_p)),
-        h=grid(avg(state.h)),
+        u=grid(avg(1)),
+        v=grid(avg(2)),
+        du=grid(avg(3)),
+        dv=grid(avg(4)),
+        h=grid(avg(5)),
         c=grid(atot / eff_cell_area),
         mtot=grid(mtot),
         area=grid(atot),
         over=grid(over),
         stress=jnp.stack([grid(sxx), grid(syy), grid(sxy)], axis=-1),
-        strain=jnp.stack(
-            [grid(avg(state.strain[:, 0])), grid(avg(state.strain[:, 1])),
-             grid(avg(state.strain[:, 2]))], axis=-1),
+        strain=jnp.stack([grid(avg(9)), grid(avg(10)), grid(avg(11))],
+                         axis=-1),
         stress_max_eig=grid(smax),
     )
 

@@ -82,7 +82,12 @@ def pack_pass(
     target: float = 1.0,
     nx: int = 10,
     ny: int = 10,
+    conc: np.ndarray | None = None,
 ) -> StateEdit:
+    """``conc``: optional precomputed coverage fraction [ny, nx] with row 0
+    = NORTH (diagnostics.coverage_fraction, device scatter kernel).  When
+    given, the per-(cell, floe) native concentration loop is skipped —
+    the host only runs the (sparse) under-target cells."""
     edit = StateEdit()
     lx, ly = cfg.domain.lx, cfg.domain.ly
     periodic = cfg.processes.periodic
@@ -108,24 +113,29 @@ def pack_pass(
             box = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
             cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
 
+            # concentration in the cell (create_new_ice.m:109-125): from
+            # the device kernel when provided, else exact host booleans
+            if conc is not None and conc[ny - 1 - cj, ci] >= 0.999 * target:
+                continue
             near = [i for i in live
                     if (view.x[i] - cx) ** 2 + (view.y[i] - cy) ** 2
                     < (view.rmax[i] + r_cell) ** 2
                     or (periodic and len(contours[i]) > 1)]
-            # concentration in the cell (create_new_ice.m:109-125)
-            a_cov = 0.0
-            in_box = []
-            for i in near:
-                a_i = 0.0
-                for c in contours[i]:
-                    inter = poly_boolean(c, box, "int")
-                    a_i += sum(max(poly_area(r), 0.0) for r in inter)
-                if a_i > 0:
-                    in_box.append(i)
-                a_cov += a_i
-            c = a_cov / cell_area
-            if c >= 0.999 * target:
-                continue
+            if conc is not None:
+                in_box = near
+            else:
+                a_cov = 0.0
+                in_box = []
+                for i in near:
+                    a_i = 0.0
+                    for c in contours[i]:
+                        inter = poly_boolean(c, box, "int")
+                        a_i += sum(max(poly_area(r), 0.0) for r in inter)
+                    if a_i > 0:
+                        in_box.append(i)
+                    a_cov += a_i
+                if a_cov / cell_area >= 0.999 * target:
+                    continue
 
             # Voronoi partition of the cell (create_new_ice.m:132-143)
             n_gen = int(np.ceil(target * cell_area / (50 * cfg.min_floe_size)))

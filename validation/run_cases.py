@@ -13,7 +13,10 @@ Cases (README.md "Validation Cases" + winter.tar.gz):
   nares      : 150 floes, 10 m/s southward wind through the strait
   winter     : 100 floes, all processes, PERIODIC + KEEP_MIN, freezing
 
-Usage: python validation/run_cases.py [case ...] [--steps N]
+Usage: python validation/run_cases.py [case ...] [--steps=N] [--resume]
+  --resume: continue each case from its latest snapshot (the runs are
+  checkpointed every n_dt_out steps, so an interrupted campaign restarts
+  where it stopped instead of from scratch).
 """
 
 from __future__ import annotations
@@ -32,6 +35,19 @@ import numpy as np  # noqa: E402
 
 ROOT = Path(__file__).resolve().parent
 OUT = ROOT / "out"
+RESUME = "--resume" in sys.argv
+
+
+def _ledger(sim, m0: float) -> dict:
+    tot = (sim.total_mass() + float(np.sum(sim.dissolved))
+           + sim.lifecycle.exported_mass)
+    return {
+        "floe mass [kg]": f"{sim.total_mass():.6e}",
+        "dissolved [kg]": f"{float(np.sum(sim.dissolved)):.6e}",
+        "exported [kg]": f"{sim.lifecycle.exported_mass:.6e}",
+        "ledger (floes+dissolved+exported)/m0":
+            f"{tot / m0:.8f}",
+    }
 
 
 def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
@@ -40,26 +56,54 @@ def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
     )
 
     alive = np.asarray(sim.state.alive)
-    mass_floes = float(np.sum(np.where(alive, np.asarray(sim.state.mass),
-                                       0.0)))
-    mass_dissolved = float(np.sum(sim.dissolved))
     fsd, fsd_edges = floe_size_distribution(sim.state)
     itd, itd_edges = ice_thickness_distribution(sim.state)
     np.savez(OUT / name / "distributions.npz", fsd=fsd, fsd_edges=fsd_edges,
              itd=itd, itd_edges=itd_edges)
+    rate = ((sim.step_idx - getattr(sim, "_resume_step", 0))
+            / max(t_wall, 1e-9))
     lines = [
         f"\n## {name} ({time.strftime('%Y-%m-%d')})\n",
         f"- steps: {sim.step_idx}, wall: {t_wall:.0f} s "
-        f"({sim.step_idx / max(t_wall, 1e-9):.2f} steps/s, CPU)",
+        f"({rate:.2f} steps/s, CPU)",
         f"- live floes: {int(alive.sum())}",
-        f"- floe mass: {mass_floes:.4e} kg; dissolved: "
-        f"{mass_dissolved:.4e} kg",
+        f"- region-overflow steps: "
+        f"{getattr(sim, 'region_overflow_steps', 0)}",
     ]
     if extra:
         lines += [f"- {k}: {v}" for k, v in extra.items()]
     with open(ROOT / "RESULTS.md", "a") as f:
         f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
+    print("\n".join(lines), flush=True)
+
+
+def _maybe_resume(sim, name: str):
+    """Reload the latest snapshot under validation/out/<name>/ if --resume."""
+    if not RESUME:
+        return sim
+    from subzero_tpu.sim import Simulation
+
+    snaps = sorted((OUT / name).glob("snap*/meta.json"))
+    if not snaps:
+        return sim
+    snap = snaps[-1].parent
+    loaded = Simulation.load(snap, sim.cfg, sim.forcing)
+    # keep the case-specific driver attachments
+    loaded.wall_fn = sim.wall_fn
+    loaded.seed = sim.seed
+    loaded._resume_step = loaded.step_idx
+    print(f"[{name}] resumed from {snap.name} (step {loaded.step_idx})",
+          flush=True)
+    return loaded
+
+
+def _finish(sim, name: str, steps: int, t0: float, m0: float, extra: dict):
+    remaining = steps - sim.step_idx
+    if remaining > 0:
+        sim.run(remaining, log_every=500)
+    extra = dict(extra or {})
+    extra.update(_ledger(sim, m0))
+    _summarize(name, sim, time.time() - t0, extra)
 
 
 def run_out_of_box(steps: int):
@@ -68,13 +112,15 @@ def run_out_of_box(steps: int):
     sim = out_of_box_sim(seed=0, n_floes=10)
     sim.output_dir = OUT / "out_of_box"
     sim.plot_output = True
-    m0 = sim.total_mass()
+    sim = _maybe_resume(sim, "out_of_box")
+    m0_path = OUT / "out_of_box" / "m0.npy"
+    if sim.step_idx == 0 or not m0_path.exists():
+        m0 = sim.total_mass()
+        np.save(m0_path, m0)
+    else:
+        m0 = float(np.load(m0_path))
     t0 = time.time()
-    sim.run(steps, log_every=500)
-    _summarize("out_of_box", sim, time.time() - t0, {
-        "mass drift (floes + dissolved vs t0)":
-            f"{(sim.total_mass() + float(np.sum(sim.dissolved)) - m0) / m0:.3e}",
-    })
+    _finish(sim, "out_of_box", steps, t0, m0, {})
 
 
 def run_uniaxial(steps: int):
@@ -87,18 +133,24 @@ def run_uniaxial(steps: int):
     # 85 km.  Within this CPU budget the closure rate is scaled so the walls
     # reach 85 km by the end of the run (documented acceleration).
     rate = max(15.0, (1e5 - 8.5e4) / max(steps // 30, 1))
-    sim.wall_fn = lambda s: (1e5, max(1e5 - rate * (s // 30), 8.5e4))
+    wall_fn = lambda s: (1e5, max(1e5 - rate * (s // 30), 8.5e4))  # noqa
+    sim.wall_fn = wall_fn
+    sim = _maybe_resume(sim, "uniaxial")
+    sim.wall_fn = wall_fn
     n0 = int(np.asarray(sim.state.alive).sum())
+    m0 = sim.total_mass()
     t0 = time.time()
-    sim.run(steps, log_every=500)
+    sim.run(steps - sim.step_idx, log_every=500)
     n1 = int(np.asarray(sim.state.alive).sum())
     ly = sim.wall_fn(sim.step_idx)[1]
-    _summarize("uniaxial", sim, time.time() - t0, {
+    extra = {
         "wall position Ly": f"{ly/1e3:.1f} km (target 85 km)",
         "floes (fracture grows count)": f"{n0} -> {n1}",
         "max principal stress [Pa]":
             f"{float(np.max(np.asarray(sim.state.stress))):.3e}",
-    })
+    }
+    extra.update(_ledger(sim, m0))
+    _summarize("uniaxial", sim, time.time() - t0, extra)
 
 
 def run_nares(steps: int):
@@ -107,19 +159,23 @@ def run_nares(steps: int):
     sim = nares_sim(n_floes=150, seed=0)
     sim.output_dir = OUT / "nares"
     sim.plot_output = True
+    sim = _maybe_resume(sim, "nares")
     y0 = np.asarray(sim.state.y).copy()
     alive0 = np.asarray(sim.state.alive).copy()
     nb = sim.cfg.n_boundary
+    m0 = sim.total_mass()
     t0 = time.time()
-    sim.run(steps, log_every=500)
+    sim.run(steps - sim.step_idx, log_every=500)
     y1 = np.asarray(sim.state.y)
     alive1 = np.asarray(sim.state.alive)
     moved = (y1 - y0)[alive0 & alive1]
     exported = int(alive0[nb:].sum() - alive1[nb:].sum())
-    _summarize("nares", sim, time.time() - t0, {
+    extra = {
         "mean southward drift": f"{float(np.mean(moved)):.1f} m",
         "floes exported/killed at the south boundary": exported,
-    })
+    }
+    extra.update(_ledger(sim, m0))
+    _summarize("nares", sim, time.time() - t0, extra)
 
 
 def run_winter(steps: int):
@@ -128,18 +184,24 @@ def run_winter(steps: int):
     sim = winter_sim(n_floes=100, seed=0)
     sim.output_dir = OUT / "winter"
     sim.plot_output = True
+    sim = _maybe_resume(sim, "winter")
     m0 = sim.total_mass()
     h0 = float(np.mean(np.asarray(sim.state.h)[np.asarray(sim.state.alive)]))
+    n0 = int(np.asarray(sim.state.alive).sum())
     t0 = time.time()
-    sim.run(steps, log_every=250)
+    sim.run(steps - sim.step_idx, log_every=250)
     alive = np.asarray(sim.state.alive)
     h1 = float(np.mean(np.asarray(sim.state.h)[alive]))
-    _summarize("winter", sim, time.time() - t0, {
+    extra = {
         "mean thickness": f"{h0:.3f} -> {h1:.3f} m (freezing: must grow)",
+        "floes": f"{n0} -> {int(alive.sum())} "
+                 "(packing at step 5500 adds new ice)",
         "mass (floes+dissolved)/m0":
             f"{(sim.total_mass() + float(np.sum(sim.dissolved))) / m0:.4f} "
             "(>1: thermodynamic growth adds mass)",
-    })
+    }
+    extra.update(_ledger(sim, m0))
+    _summarize("winter", sim, time.time() - t0, extra)
 
 
 CASES = {
