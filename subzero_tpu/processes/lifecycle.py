@@ -35,6 +35,50 @@ from .simplify import simplify_pass
 from .weld import weld_pass, weld_schedule
 
 
+def capacity_guard(edit: StateEdit, alive: np.ndarray, cfg: SimConfig,
+                   step_idx: int) -> float:
+    """Trim births that exceed the free-slot budget.
+
+    Fixed-capacity pools (SURVEY.md §5 scale-axis handling) can run out of
+    slots during a fracture burst; the reference's MATLAB arrays grow without
+    bound (fracture.m:51-55 appends children freely).  Keep the most massive
+    new floes and bin the remainder into ``edit.dissolve_mass`` so the mass
+    ledger stays closed instead of aborting the run.  Returns the kg
+    dissolved (0.0 when nothing was trimmed).
+    """
+    if not edit.new_floes:
+        return 0.0
+    freed = edit.kills | edit.dissolve_kills
+    n_free = sum(
+        1 for i in range(cfg.n_boundary, len(alive))
+        if (not alive[i]) or i in freed)
+    if len(edit.new_floes) <= n_free:
+        return 0.0
+    from .. import hostgeom as hg
+
+    def _mass(f) -> float:
+        if f.mass is not None:
+            return float(f.mass)
+        return float(cfg.physics.rho_ice * f.h
+                     * abs(hg.area(np.asarray(f.poly))))
+
+    order = sorted(range(len(edit.new_floes)),
+                   key=lambda k: _mass(edit.new_floes[k]), reverse=True)
+    keep = set(order[:n_free])
+    dropped = [f for k, f in enumerate(edit.new_floes) if k not in keep]
+    edit.new_floes = [f for k, f in enumerate(edit.new_floes) if k in keep]
+    lost = 0.0
+    for f in dropped:
+        c = hg.centroid(np.asarray(f.poly))
+        m = _mass(f)
+        edit.dissolve_mass.append((float(c[0]), float(c[1]), m))
+        lost += m
+    print(f"[lifecycle] WARNING step {step_idx}: floe capacity exhausted — "
+          f"{len(dropped)} smallest of {len(dropped) + n_free} births "
+          f"dissolved ({lost:.3e} kg; raise CapacityConfig.max_floes)")
+    return lost
+
+
 class Lifecycle:
     """Stateful orchestrator bound to one simulation run."""
 
@@ -145,6 +189,9 @@ class Lifecycle:
             edit.merge(self._guarded(view, edit, lambda v: pack_pass(
                 v, cfg, self.rng, self.pack_h0, self.pack_target,
                 self.nx, self.ny, conc=conc)))
+
+        # ---- capacity guard -----------------------------------------------
+        capacity_guard(edit, view.alive, cfg, step_idx)
 
         # ---- dissolved-mass bookkeeping ----------------------------------
         for i in edit.dissolve_kills:

@@ -336,6 +336,8 @@ class Simulation:
             "heat_flux": self.heat_flux,
             "nx_coarse": self.nx_coarse,
             "ny_coarse": self.ny_coarse,
+            "seed": self.seed,
+            "pack_target": self.pack_target,
             "cfg": dataclasses.asdict(self.cfg),
         }
         (path / "meta.json").write_text(json.dumps(meta, indent=1))
@@ -350,15 +352,26 @@ class Simulation:
         from .state import empty_state
 
         proto = empty_state(cfg)
-        state = proto.replace(**{
-            k: jnp.asarray(data[k], getattr(proto, k).dtype)
-            for k in data.files
-        })
+
+        def _fit(k):
+            # Saved at a smaller floe capacity than cfg now asks for: pad
+            # with empty slots so a resumed run can grow (capacity bumps
+            # between campaign legs must not invalidate snapshots).
+            arr = jnp.asarray(data[k], getattr(proto, k).dtype)
+            tgt = getattr(proto, k)
+            if (arr.shape != tgt.shape and arr.shape[1:] == tgt.shape[1:]
+                    and arr.shape[0] < tgt.shape[0]):
+                arr = jnp.concatenate([arr, tgt[arr.shape[0]:]], axis=0)
+            return arr
+
+        state = proto.replace(**{k: _fit(k) for k in data.files})
         return cls(
             cfg=cfg, state=state, forcing=forcing,
             modulus=meta["modulus"], heat_flux=meta["heat_flux"],
             nx_coarse=meta["nx_coarse"], ny_coarse=meta["ny_coarse"],
             step_idx=meta["step_idx"],
+            seed=meta.get("seed", 0),
+            pack_target=meta.get("pack_target", 1.0),
             dissolved=np.load(path / "dissolved.npy"),
         )
 

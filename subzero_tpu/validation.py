@@ -44,7 +44,10 @@ def uniaxial_sim(n_floes: int = 200, seed: int = 0,
         numerics=NumericsConfig(dt=5.0),
         domain=DomainConfig(lx=1e5, ly=1e5),
         capacity=CapacityConfig(
-            max_floes=4 * n_floes, max_verts=32, max_neighbors=12,
+            # fracture triples floe counts in bursts before the
+            # min_floe_size cull catches up — 8x headroom measured
+            # necessary for the full 6000-step campaign
+            max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
     )

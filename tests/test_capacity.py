@@ -1,0 +1,84 @@
+"""Capacity handling: birth overflow degrades gracefully (mass binned to
+dissolved, not a crash), and snapshots saved at a smaller floe capacity
+resume under a larger one (campaign capacity bumps must not invalidate
+checkpoints)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from subzero_tpu.config import CapacityConfig, NumericsConfig, SimConfig
+from subzero_tpu.processes.host import NewFloe, StateEdit
+from subzero_tpu.processes.lifecycle import capacity_guard
+
+
+def _cfg(max_floes=8):
+    return SimConfig(
+        numerics=NumericsConfig(dtype="float64"),
+        capacity=CapacityConfig(max_floes=max_floes, max_verts=16),
+    )
+
+
+def _sq(cx, cy, w):
+    return np.array([[cx - w / 2, cy - w / 2], [cx + w / 2, cy - w / 2],
+                     [cx + w / 2, cy + w / 2], [cx - w / 2, cy + w / 2]])
+
+
+def test_capacity_guard_trims_smallest_births():
+    cfg = _cfg(max_floes=8)
+    alive = np.array([True] * 6 + [False] * 2)   # 2 free slots
+    # 4 births, sizes 1000/2000/3000/4000 m on a side, h=1
+    edit = StateEdit(new_floes=[
+        NewFloe(poly=_sq(0, 0, w), h=1.0) for w in (1e3, 3e3, 2e3, 4e3)
+    ])
+    lost = capacity_guard(edit, alive, cfg, step_idx=0)
+    # the two largest survive, the two smallest dissolve
+    kept_w = sorted(
+        float(f.poly[:, 0].max() - f.poly[:, 0].min())
+        for f in edit.new_floes)
+    assert kept_w == [3e3, 4e3]
+    rho = cfg.physics.rho_ice
+    expect = rho * 1.0 * (1e3 ** 2 + 2e3 ** 2)
+    assert np.isclose(lost, expect)
+    assert np.isclose(sum(m for _, _, m in edit.dissolve_mass), expect)
+
+
+def test_capacity_guard_counts_kill_slots_as_free():
+    cfg = _cfg(max_floes=4)
+    alive = np.array([True] * 4)
+    edit = StateEdit(kills={1}, new_floes=[NewFloe(poly=_sq(0, 0, 1e3),
+                                                   h=1.0)])
+    assert capacity_guard(edit, alive, cfg, step_idx=0) == 0.0
+    assert len(edit.new_floes) == 1
+
+
+def test_capacity_guard_noop_when_room():
+    cfg = _cfg(max_floes=8)
+    alive = np.array([True] * 2 + [False] * 6)
+    edit = StateEdit(new_floes=[NewFloe(poly=_sq(0, 0, 1e3), h=1.0)])
+    assert capacity_guard(edit, alive, cfg, step_idx=0) == 0.0
+    assert not edit.dissolve_mass
+
+
+def test_resume_grows_capacity(tmp_path):
+    """A snapshot saved at max_floes=M loads into a config with
+    max_floes>M: the extra slots come up dead and the run continues."""
+    from subzero_tpu.sim import Simulation, out_of_box_sim
+
+    sim = out_of_box_sim(seed=0, n_floes=6)
+    sim.run(5)
+    n_alive = int(np.asarray(sim.state.alive).sum())
+    sim.save(tmp_path / "snap")
+
+    big = dataclasses.replace(
+        sim.cfg, capacity=dataclasses.replace(sim.cfg.capacity,
+                                              max_floes=2 * sim.state.n))
+    sim2 = Simulation.load(tmp_path / "snap", big, sim.forcing)
+    assert sim2.state.n == 2 * sim.state.n
+    assert int(np.asarray(sim2.state.alive).sum()) == n_alive
+    m0 = sim2.total_mass()
+    sim2.run(5)
+    assert np.isfinite(sim2.total_mass())
+    assert abs(sim2.total_mass() / m0 - 1) < 0.5

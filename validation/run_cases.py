@@ -14,9 +14,13 @@ Cases (README.md "Validation Cases" + winter.tar.gz):
   winter     : 100 floes, all processes, PERIODIC + KEEP_MIN, freezing
 
 Usage: python validation/run_cases.py [case ...] [--steps=N] [--resume]
+                                      [--platform=cpu|tpu]
   --resume: continue each case from its latest snapshot (the runs are
   checkpointed every n_dt_out steps, so an interrupted campaign restarts
   where it stopped instead of from scratch).
+  --platform: device to run on (default cpu).  The physics step is
+  platform-agnostic; a campaign resumed on a different platform continues
+  bit-inexactly but within the model's own chaos (documented in RESULTS.md).
 """
 
 from __future__ import annotations
@@ -29,7 +33,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+_PLATFORM = "cpu"
+for _a in sys.argv[1:]:
+    if _a.startswith("--platform"):
+        _PLATFORM = _a.split("=")[1]
+if _PLATFORM != "tpu":
+    jax.config.update("jax_platforms", _PLATFORM)
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 import numpy as np  # noqa: E402
 
@@ -65,7 +76,7 @@ def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
     lines = [
         f"\n## {name} ({time.strftime('%Y-%m-%d')})\n",
         f"- steps: {sim.step_idx}, wall: {t_wall:.0f} s "
-        f"({rate:.2f} steps/s, CPU)",
+        f"({rate:.2f} steps/s, {jax.devices()[0].platform})",
         f"- live floes: {int(alive.sum())}",
         f"- region-overflow steps: "
         f"{getattr(sim, 'region_overflow_steps', 0)}",
@@ -88,9 +99,11 @@ def _maybe_resume(sim, name: str):
         return sim
     snap = snaps[-1].parent
     loaded = Simulation.load(snap, sim.cfg, sim.forcing)
-    # keep the case-specific driver attachments
+    # keep the case-specific driver attachments (incl. output wiring — a
+    # resumed leg must keep writing snapshots/figures/mass series)
     loaded.wall_fn = sim.wall_fn
-    loaded.seed = sim.seed
+    loaded.output_dir = sim.output_dir
+    loaded.plot_output = sim.plot_output
     loaded._resume_step = loaded.step_idx
     print(f"[{name}] resumed from {snap.name} (step {loaded.step_idx})",
           flush=True)
@@ -225,6 +238,16 @@ if __name__ == "__main__":
             steps_override = int(a.split("=")[1])
     names = args or list(CASES)
     OUT.mkdir(exist_ok=True)
+    failures = []
     for name in names:
         (OUT / name).mkdir(exist_ok=True, parents=True)
-        CASES[name](steps_override or DEFAULT_STEPS[name])
+        try:
+            CASES[name](steps_override or DEFAULT_STEPS[name])
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            failures.append(name)
+            print(f"[campaign] case {name} FAILED — continuing", flush=True)
+    if failures:
+        sys.exit(f"failed cases: {failures}")
