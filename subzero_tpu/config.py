@@ -99,6 +99,21 @@ class ContactConfig:
     # length of the overlap region's edges lying on floe 1's boundary,
     # floe_interactions.m:126-131).
     region_dl: str = "chord"
+    # Normal-force direction of per-region contacts:
+    # "analytic" (default): the overlap-reducing chord perpendicular — the
+    #   exact steepest-descent direction of the region's overlap area (to
+    #   first order in the displacement), so no disambiguation pass is
+    #   needed.
+    # "reclip": reference-exact finite-probe disambiguation
+    #   (floe_interactions.m:139-165): displace floe 1 by the unit direction,
+    #   re-decompose the overlap, match each region to its displaced image
+    #   (nearest centroid; the reference matches by polygon intersection),
+    #   and flip the direction when the displaced region's area GREW.  The
+    #   1 m probe is finite, so this occasionally reverses the analytically
+    #   correct direction (validation/GOLDEN.md measured 3/60 ensemble
+    #   pairs); the knob exists to reproduce the reference bit-for-bit.
+    #   Costs one extra region decomposition per pool slot per region.
+    normal_dir: str = "analytic"
     # Wall force-component zeroing tolerance (floe_interactions_all.m:157-166
     # zeroes the wall-parallel force component when the contact point sits ON
     # |x|=Lx / |y|=Ly — compared with ==, which never fires for a region

@@ -219,6 +219,8 @@ def _pair_forces_regions(
                                  # :157-166); xw/yw [P] = world offset of the
                                  # pair-local origin
     region_dl: str = "chord",    # tangential length scale (ContactConfig)
+    flip=None,                   # [P, C] reference reclip direction flips
+                                 # (ContactConfig.normal_dir = "reclip")
 ):
     """Per-region contact forces (floe_interactions.m:92-190): one force per
     disjoint overlap region, the small-region cull applied per region
@@ -233,6 +235,11 @@ def _pair_forces_regions(
     inv_dl = 1.0 / jnp.where(ch_norm > 0, ch_norm, 1.0)
     fdx = -chy * inv_dl
     fdy = chx * inv_dl
+    if flip is not None:
+        # Reference finite-probe flips (floe_interactions.m:158-163): the
+        # normal direction only — the tangential force is unaffected there.
+        fdx = jnp.where(flip, -fdx, fdx)
+        fdy = jnp.where(flip, -fdy, fdy)
     if region_dl == "edge_mean":
         # Reference-exact dl = mean length of the region's edges on floe
         # 1's boundary (floe_interactions.m:126-131); the 0.1 m gate below
@@ -296,6 +303,50 @@ def _pair_forces_regions(
     )
 
 
+def _reclip_flip(rs, vi_m: jnp.ndarray, vj_m: jnp.ndarray,
+                 cap: int) -> jnp.ndarray:
+    """Reference displace-and-reclip direction test, [M, C] flip mask
+    (floe_interactions.m:139-165; ContactConfig.normal_dir = "reclip").
+
+    For each region: displace floe 1 by the unit analytic direction (the
+    reference's 1 m probe), re-decompose the displaced overlap, match the
+    region to its displaced image by nearest centroid (the reference matches
+    by polygon intersection — within a 1 m move the centroid is the same
+    pairing, and it is robust where sliver-vs-sliver intersections are not,
+    see oracle.py:359-364), and flip where the displaced area GREW.
+
+    Cost: one extra ``region_stats`` on an [M*C] batch — opt-in only.
+    """
+    from ..geometry.regions import region_stats
+
+    m = vi_m.shape[0]
+    chx, chy = rs.chord[..., 0], rs.chord[..., 1]
+    chn = jnp.sqrt(chx * chx + chy * chy)
+    inv = 1.0 / jnp.where(chn > 0, chn, 1.0)
+    d2 = jnp.stack([-chy * inv, chx * inv], axis=-1)      # [M, C, 2] unit dir
+    vi_s = (vi_m[:, None, :, :] + d2[:, :, None, :]).reshape(
+        m * cap, vi_m.shape[1], 2)
+    vj_s = jnp.broadcast_to(
+        vj_m[:, None], (m, cap) + vj_m.shape[1:]).reshape(
+        m * cap, vj_m.shape[1], 2)
+    rs2 = region_stats(vi_s, vj_s, cap)
+    a2 = rs2.area.reshape(m, cap, cap)                    # [M, Corig, Cnew]
+    v2 = rs2.valid.reshape(m, cap, cap)
+    bb2 = rs2.bbox.reshape(m, cap, cap, 4)
+    # Reference matching (oracle.py:371-378): a displaced piece matches when
+    # its bbox meets the region's bbox expanded by 1.5 m; EACH matching
+    # piece whose area grew toggles the sign — net flip = odd toggle count.
+    bb1 = rs.bbox[:, :, None, :]                          # [M, Corig, 1, 4]
+    match = (v2
+             & (bb2[..., 2] >= bb1[..., 0] - 1.5)
+             & (bb2[..., 3] >= bb1[..., 1] - 1.5)
+             & (bb2[..., 0] <= bb1[..., 2] + 1.5)
+             & (bb2[..., 1] <= bb1[..., 3] + 1.5))
+    grew = match & (a2 / jnp.maximum(rs.area[:, :, None], 1e-30) - 1.0 > 0)
+    toggles = jnp.sum(grew.astype(jnp.int32), axis=-1)
+    return rs.valid & (toggles % 2 == 1)
+
+
 def _blend_regions_compact(
     results,                     # (fx, fy, px, py, tq, sxx, syy, sxy,
                                  #  overlap) flat [P] aggregate results
@@ -327,10 +378,12 @@ def _blend_regions_compact(
 
     fx, fy, px, py, tq, sxx, syy, sxy, overlap = results
     p_count = n_cross.shape[0]
-    # Floor of 64: small populations (validation cases) routinely have tens
-    # of >=4-crossing pairs; a tiny pool would push them all to the
-    # aggregate fallback.  At 10k-floe scale the frac term dominates.
-    m = min(p_count, max(64, math.ceil(p_count * cfg.contact.region_pair_frac)))
+    # Floor of 128: small populations (validation cases) routinely have tens
+    # of >=4-crossing pairs (a 10-floe cluster can demand > 64 of its 90
+    # ordered slots); a tiny pool would push them all to the aggregate
+    # fallback.  At 10k-floe scale the frac term dominates.
+    m = min(p_count,
+            max(128, math.ceil(p_count * cfg.contact.region_pair_frac)))
 
     # Order-preserving compaction of the >= 4-crossing pair slots into m
     # pool slots (cumsum + scatter -- a top_k here would sort all P pairs).
@@ -349,6 +402,9 @@ def _blend_regions_compact(
 
     vi_m, vj_m, kin, ff_m, amin_m, ov_gate_m, wall = gather_pair(sel_g)
     rs = region_stats(vi_m, vj_m, cfg.contact.region_cap)
+    flip = None
+    if cfg.contact.normal_dir == "reclip":
+        flip = _reclip_flip(rs, vi_m, vj_m, cfg.contact.region_cap)
     ui, vi_k, ksi_i, uj, vj_k, ksi_j, xj, yj = kin
     (rfx, rfy, rpx, rpy, rtq, rsxx, rsyy, rsxy, rov, r_any) = \
         _pair_forces_regions(
@@ -359,6 +415,7 @@ def _blend_regions_compact(
             tang_reference=cfg.contact.tangential_velocity == "reference",
             wall=wall,
             region_dl=cfg.contact.region_dl,
+            flip=flip,
         )
     overflow = n_need > m
     n_need_global = n_need

@@ -195,6 +195,9 @@ class Simulation:
             # Surface per-region pool overflow: those steps fell back to
             # aggregate contacts (physics degradation — raise
             # ContactConfig.region_pair_frac if this keeps firing).
+            self.region_pool_need_max = max(
+                getattr(self, "region_pool_need_max", 0),
+                int(np.max(np.asarray(auxes.region_pool_need[:n]))))
             n_rov = int(np.sum(np.asarray(auxes.region_overflow[:n])))
             if n_rov:
                 self.region_overflow_steps = (

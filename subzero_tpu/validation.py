@@ -23,8 +23,8 @@ from __future__ import annotations
 import numpy as np
 
 from .config import (
-    CapacityConfig, DomainConfig, NumericsConfig, PhysicsConfig,
-    ProcessConfig, SimConfig,
+    CapacityConfig, ContactConfig, DomainConfig, NumericsConfig,
+    PhysicsConfig, ProcessConfig, SimConfig,
 )
 from .forcing import gyre_ocean, thermo_params, uniform_forcing
 from .init import default_modulus, voronoi_floe_field
@@ -50,6 +50,10 @@ def uniaxial_sim(n_floes: int = 200, seed: int = 0,
             max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
+        # Small populations: size the per-region pool generously so the
+        # decomposition never falls back to aggregate contacts
+        # (region-overflow steps in validation/RESULTS.md).
+        contact=ContactConfig(region_pair_frac=0.25),
     )
     polys, heights = voronoi_floe_field(
         cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0, seed=seed)
@@ -111,6 +115,10 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
             max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
+        # Small populations: size the per-region pool generously so the
+        # decomposition never falls back to aggregate contacts
+        # (region-overflow steps in validation/RESULTS.md).
+        contact=ContactConfig(region_pair_frac=0.25),
     )
     topo = nares_topography(lx, ly, channel_top=0.0 + shift,
                             channel_bot=-1.5e5 + shift)
@@ -167,6 +175,10 @@ def winter_sim(n_floes: int = 100, seed: int = 0) -> Simulation:
             max_floes=8 * n_floes, max_verts=32, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
+        # Small populations: size the per-region pool generously so the
+        # decomposition never falls back to aggregate contacts
+        # (region-overflow steps in validation/RESULTS.md).
+        contact=ContactConfig(region_pair_frac=0.25),
     )
     polys, heights = voronoi_floe_field(
         cfg, 1.0, n_floes, height_mean=0.25, height_delta=0.0, seed=seed)

@@ -49,15 +49,22 @@ OUT = ROOT / "out"
 RESUME = "--resume" in sys.argv
 
 
+def _total(sim) -> float:
+    """Conserved total: floes + dissolved + exported.  The baseline m0 must
+    be taken with THIS function — a resumed case already carries dissolved
+    mass from its earlier legs, so baselining on floe mass alone reports a
+    spurious ledger gain."""
+    return (sim.total_mass() + float(np.sum(sim.dissolved))
+            + sim.lifecycle.exported_mass)
+
+
 def _ledger(sim, m0: float) -> dict:
-    tot = (sim.total_mass() + float(np.sum(sim.dissolved))
-           + sim.lifecycle.exported_mass)
     return {
         "floe mass [kg]": f"{sim.total_mass():.6e}",
         "dissolved [kg]": f"{float(np.sum(sim.dissolved)):.6e}",
         "exported [kg]": f"{sim.lifecycle.exported_mass:.6e}",
         "ledger (floes+dissolved+exported)/m0":
-            f"{tot / m0:.8f}",
+            f"{_total(sim) / m0:.8f}",
     }
 
 
@@ -79,7 +86,9 @@ def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
         f"({rate:.2f} steps/s, {jax.devices()[0].platform})",
         f"- live floes: {int(alive.sum())}",
         f"- region-overflow steps: "
-        f"{getattr(sim, 'region_overflow_steps', 0)}",
+        f"{getattr(sim, 'region_overflow_steps', 0)} "
+        f"(peak pool demand {getattr(sim, 'region_pool_need_max', 0)} "
+        "pair slots)",
     ]
     if extra:
         lines += [f"- {k}: {v}" for k, v in extra.items()]
@@ -128,7 +137,7 @@ def run_out_of_box(steps: int):
     sim = _maybe_resume(sim, "out_of_box")
     m0_path = OUT / "out_of_box" / "m0.npy"
     if sim.step_idx == 0 or not m0_path.exists():
-        m0 = sim.total_mass()
+        m0 = _total(sim)
         np.save(m0_path, m0)
     else:
         m0 = float(np.load(m0_path))
@@ -151,7 +160,7 @@ def run_uniaxial(steps: int):
     sim = _maybe_resume(sim, "uniaxial")
     sim.wall_fn = wall_fn
     n0 = int(np.asarray(sim.state.alive).sum())
-    m0 = sim.total_mass()
+    m0 = _total(sim)
     t0 = time.time()
     sim.run(steps - sim.step_idx, log_every=500)
     n1 = int(np.asarray(sim.state.alive).sum())
@@ -176,7 +185,7 @@ def run_nares(steps: int):
     y0 = np.asarray(sim.state.y).copy()
     alive0 = np.asarray(sim.state.alive).copy()
     nb = sim.cfg.n_boundary
-    m0 = sim.total_mass()
+    m0 = _total(sim)
     t0 = time.time()
     sim.run(steps - sim.step_idx, log_every=500)
     y1 = np.asarray(sim.state.y)
@@ -198,7 +207,7 @@ def run_winter(steps: int):
     sim.output_dir = OUT / "winter"
     sim.plot_output = True
     sim = _maybe_resume(sim, "winter")
-    m0 = sim.total_mass()
+    m0 = _total(sim)
     h0 = float(np.mean(np.asarray(sim.state.h)[np.asarray(sim.state.alive)]))
     n0 = int(np.asarray(sim.state.alive).sum())
     t0 = time.time()
