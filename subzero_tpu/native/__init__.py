@@ -70,24 +70,35 @@ def _flatten(poly) -> tuple[np.ndarray, np.ndarray]:
 
 def poly_boolean(p, q, op: str, max_pts: int = 65536,
                  max_contours: int = 1024) -> list[np.ndarray]:
-    """Boolean of two polygons; returns result contours (CCW outer, CW hole)."""
+    """Boolean of two polygons; returns result contours (CCW outer, CW hole).
+
+    The native engine signals -1 only when the *output* exceeds the caller's
+    buffers (polyboolean.cpp:309) — the result itself is fine — so the
+    wrapper retries with 4x buffers (dense packs at 10k+ floes produce
+    channel-network differences with very many contours)."""
     lib = _load()
     p_pts, p_sizes = _flatten(p)
     q_pts, q_sizes = _flatten(q)
-    out_pts = np.empty((max_pts, 2), dtype=np.float64)
-    out_sizes = np.empty((max_contours,), dtype=np.int32)
-    n = lib.subzero_poly_boolean(
-        p_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        p_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(p_sizes),
-        q_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        q_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(q_sizes),
-        _OPS[op],
-        out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_pts, max_contours,
-    )
+    n = -1
+    for _ in range(5):
+        out_pts = np.empty((max_pts, 2), dtype=np.float64)
+        out_sizes = np.empty((max_contours,), dtype=np.int32)
+        n = lib.subzero_poly_boolean(
+            p_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            p_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(p_sizes),
+            q_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            q_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(q_sizes),
+            _OPS[op],
+            out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_pts, max_contours,
+        )
+        if n >= 0:
+            break
+        max_pts *= 4
+        max_contours *= 4
     if n < 0:
         raise RuntimeError("poly_boolean: result buffer overflow")
     res = []

@@ -106,6 +106,14 @@ def pack_pass(
     }
     fused_already: set[int] = set()
 
+    # vectorized per-cell broad phase (a Python loop over cells x floes is
+    # minutes by itself at 10k floes x 32x32 cells)
+    live_a = np.asarray(live, dtype=np.int64)
+    lx_a = np.asarray([view.x[i] for i in live])
+    ly_a = np.asarray([view.y[i] for i in live])
+    lr_a = np.asarray([view.rmax[i] for i in live])
+    ghosted = np.asarray([periodic and len(contours[i]) > 1 for i in live])
+
     for ci in range(nx):
         for cj in range(ny):
             x0, x1 = xe[ci], xe[ci + 1]
@@ -117,10 +125,9 @@ def pack_pass(
             # the device kernel when provided, else exact host booleans
             if conc is not None and conc[ny - 1 - cj, ci] >= 0.999 * target:
                 continue
-            near = [i for i in live
-                    if (view.x[i] - cx) ** 2 + (view.y[i] - cy) ** 2
-                    < (view.rmax[i] + r_cell) ** 2
-                    or (periodic and len(contours[i]) > 1)]
+            near_m = ((lx_a - cx) ** 2 + (ly_a - cy) ** 2
+                      < (lr_a + r_cell) ** 2) | ghosted
+            near = [int(i) for i in live_a[near_m]]
             if conc is not None:
                 in_box = near
             else:
@@ -148,22 +155,40 @@ def pack_pass(
                 + np.array([cx, cy])
             cells = bounded_voronoi(seeds, bbox)
 
+            # Per Voronoi sub-cell, subtract the floes that can touch it
+            # (create_new_ice.m:144-154).  bbox prefilters skip floes that
+            # cannot touch a piece; pieces already below min_floe_size can
+            # only shrink and are culled early (their finals are skipped at
+            # the threshold test anyway — holes are kept so the hole path
+            # still fires for fully-enclosed floes).
             for cell in cells:
                 if len(cell) < 3:
                     continue
-                pieces = [cell]
+                pieces = [np.asarray(cell)]
                 for i in in_box:
                     nxt = []
                     for p in pieces:
                         acc = [p]
                         for cc in contours[i]:
+                            cc = np.asarray(cc)
+                            cmin, cmax = cc.min(0), cc.max(0)
                             sub = []
                             for q in acc:
+                                q = np.asarray(q)
+                                if (np.any(cmin > q.max(0))
+                                        or np.any(cmax < q.min(0))):
+                                    sub.append(q)
+                                    continue
                                 sub.extend(poly_boolean(q, cc, "dif"))
                             acc = sub
                             if not acc:
                                 break
-                        nxt.extend(acc)
+                        for q in acc:
+                            q = np.asarray(q)
+                            a = _signed_area(q)
+                            if (a > cfg.min_floe_size
+                                    or (a < 0 and abs(a) > 1.0)):
+                                nxt.append(q)
                     pieces = nxt
                     if not pieces:
                         break

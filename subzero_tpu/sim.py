@@ -431,9 +431,13 @@ def out_of_box_sim(seed: int = 0, n_floes: int = 10) -> Simulation:
     """The reference's out-of-box configuration: ~10 Voronoi floes in a
     +-1e5 m box over the 4-gyre ocean, dt=10 s, collisions + corners only
     (README.md 'Running your first model'; Subzero.m:6-36)."""
+    from .config import ContactConfig
     from .init import initial_state
 
-    cfg = SimConfig()
+    # tiny population: size the per-region pool so the decomposition never
+    # falls back to aggregate contacts (peak demand measured 212 of the
+    # ~90 ordered pair slots' ghost-expanded table in the r3 campaign)
+    cfg = SimConfig(contact=ContactConfig(region_pair_frac=0.5))
     state, modulus = initial_state(cfg, 1.0, n_floes, 0.25, seed=seed)
     forcing = gyre_ocean()
     return Simulation(cfg=cfg, state=state, forcing=forcing, modulus=modulus)

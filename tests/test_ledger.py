@@ -104,17 +104,18 @@ def test_pool_overflow_falls_back_symmetrically():
     contact: forces identical to per_region=False and momentum-conserving."""
     rng = np.random.default_rng(7)
     # dense grid of interlocking stars: every pair has >= 4 crossings
+    # (9x9 = 81 floes -> pool demand well past the 128-slot pool floor)
     polys = []
     pitch = 9.5e3
-    for gy in range(6):
-        for gx in range(6):
+    for gy in range(9):
+        for gx in range(9):
             polys.append(_star(rng, 6e3, int(rng.integers(5, 9)),
                                c=(gx * pitch, gy * pitch)))
     vel = rng.uniform(-0.2, 0.2, (len(polys), 2))
 
     def forces(per_region):
         cfg = SimConfig(
-            capacity=CapacityConfig(max_floes=40, max_neighbors=8),
+            capacity=CapacityConfig(max_floes=88, max_neighbors=8),
             numerics=NumericsConfig(dtype="float64"),
             contact=ContactConfig(per_region=per_region,
                                   region_pair_frac=1e-6),

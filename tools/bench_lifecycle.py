@@ -71,9 +71,15 @@ def main(n_floes: int = 10240):
                                  float(np.max(view.area)) / 3))
     bench_pass("coverage_fraction(40x40)",
                lambda: coverage_fraction(state, cfg, 40, 40))
-    conc = coverage_fraction(state, cfg, 10, 10)
-    bench_pass("pack_pass(conc precomputed)",
-               lambda: pack_pass(view, cfg, rng, 0.1, 1.0, 10, 10,
+    # Packing grid scaled with the pack so per-cell occupancy matches the
+    # reference configurations (~5-10 floes/cell; a 10x10 grid over 10k
+    # floes would put ~100 floes in every cell — a workload no reference
+    # case approaches, and the per-cell exact-boolean cost is quadratic in
+    # occupancy).
+    npx = max(8, int(np.sqrt(n_floes / 10)))
+    conc = coverage_fraction(state, cfg, npx, npx)
+    bench_pass(f"pack_pass({npx}x{npx} grid, conc precomputed)",
+               lambda: pack_pass(view, cfg, rng, 0.1, 1.0, npx, npx,
                                  conc=conc), n_rep=1)
 
     # apply_edits with a realistic edit (ridge pass output)

@@ -191,10 +191,13 @@ def run_nares(steps: int):
     y1 = np.asarray(sim.state.y)
     alive1 = np.asarray(sim.state.alive)
     moved = (y1 - y0)[alive0 & alive1]
-    exported = int(alive0[nb:].sum() - alive1[nb:].sum())
+    # deaths among the floes alive at the start of the leg (out-of-domain
+    # exports + sub-minimum kills); a net count would be masked by fracture
+    # births
+    exported = int((alive0[nb:] & ~alive1[nb:]).sum())
     extra = {
         "mean southward drift": f"{float(np.mean(moved)):.1f} m",
-        "floes exported/killed at the south boundary": exported,
+        "initial-floe deaths (export + dissolve kills)": exported,
     }
     extra.update(_ledger(sim, m0))
     _summarize("nares", sim, time.time() - t0, extra)
