@@ -329,7 +329,7 @@ def _reclip_flip(rs, vi_m: jnp.ndarray, vj_m: jnp.ndarray,
     vj_s = jnp.broadcast_to(
         vj_m[:, None], (m, cap) + vj_m.shape[1:]).reshape(
         m * cap, vj_m.shape[1], 2)
-    rs2 = region_stats(vi_s, vj_s, cap)
+    rs2 = region_stats(vi_s, vj_s, cap, with_bbox=True)
     a2 = rs2.area.reshape(m, cap, cap)                    # [M, Corig, Cnew]
     v2 = rs2.valid.reshape(m, cap, cap)
     bb2 = rs2.bbox.reshape(m, cap, cap, 4)
@@ -401,9 +401,10 @@ def _blend_regions_compact(
     sel_g = jnp.minimum(sel, p_count - 1)            # clamped gather index
 
     vi_m, vj_m, kin, ff_m, amin_m, ov_gate_m, wall = gather_pair(sel_g)
-    rs = region_stats(vi_m, vj_m, cfg.contact.region_cap)
+    reclip = cfg.contact.normal_dir == "reclip"
+    rs = region_stats(vi_m, vj_m, cfg.contact.region_cap, with_bbox=reclip)
     flip = None
-    if cfg.contact.normal_dir == "reclip":
+    if reclip:
         flip = _reclip_flip(rs, vi_m, vj_m, cfg.contact.region_cap)
     ui, vi_k, ksi_i, uj, vj_k, ksi_j, xj, yj = kin
     (rfx, rfy, rpx, rpy, rtq, rsxx, rsyy, rsxy, rov, r_any) = \

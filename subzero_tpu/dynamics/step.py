@@ -239,13 +239,24 @@ def physics_step(
 
 def make_step_fn(cfg: SimConfig, forcing: Forcing, modulus: float,
                  heat_flux: float = 0.0):
-    """Build a jitted ``step(state, step_idx) -> (state, aux)``."""
-    domain_verts = domain_polygon(cfg)
+    """Build a jitted ``step(state, step_idx) -> (state, aux)``.
+
+    Closed-over constants (forcing grids, the domain polygon) are pinned to
+    HOST numpy before tracing: lowering embeds a jaxpr constant by reading
+    its value, and reading a device-resident array back through the axon
+    tunnel costs ~30 s PER CONSTANT — measured 260 s of a 277 s "cold
+    compile" at 10k floes, vs 16 s of actual XLA compilation.  numpy
+    constants embed from host memory and XLA ships them to the device once
+    at execution.
+    """
+    forcing = jax.tree_util.tree_map(np.asarray, forcing)
+    domain_verts = np.asarray(domain_polygon(cfg))
 
     @jax.jit
     def step(state: FloeState, step_idx):
         return physics_step(
-            state, forcing, step_idx, domain_verts, modulus, heat_flux, cfg
+            state, forcing, step_idx, jnp.asarray(domain_verts),
+            modulus, heat_flux, cfg
         )
 
     return step

@@ -72,10 +72,13 @@ class RegionStats(NamedTuple):
                              # tangential length scale dl = mean(b(on))
                              # (floe_interactions.m:131)
     bbox: jnp.ndarray        # [B, C, 4] region bounds (minx, miny, maxx,
-                             # maxy); +/-inf where invalid.  Used by the
-                             # displace-and-reclip direction probe to match
-                             # regions the reference way (bbox overlap,
-                             # floe_interactions.m:155-163 via oracle.py)
+                             # maxy), +/-_BIG where invalid — or None unless
+                             # region_stats(..., with_bbox=True).  Used by
+                             # the displace-and-reclip direction probe to
+                             # match regions the reference way (bbox
+                             # overlap, floe_interactions.m:155-163 via
+                             # oracle.py); costs ~11% of the step when
+                             # computed, so it is opt-in.
 
 
 def reverse_polygons(verts: jnp.ndarray, nv: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +107,8 @@ def _mseg(ax, ay, bx, by):
     return (ax + bx) * cr / 6.0, (ay + by) * cr / 6.0, cr
 
 
-def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
+def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int,
+                 with_bbox: bool = False) -> RegionStats:
     """Disjoint regions of P ∩ Q for ``[B, Vp, 2] × [B, Vq, 2]`` CCW pairs.
 
     ``c_cap``: crossing capacity C (pairs with more crossings fall back via
@@ -264,45 +268,52 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
 
     inp = sel & (delta > 0)
 
-    # ---- per-arc bounding boxes ------------------------------------------
-    # Arc extent = its two crossing endpoints + the original-polygon
-    # vertices whose boundary parameter lies strictly inside the arc's
-    # (lo, hi) interval (wrapping past parameter 0 when hi <= lo).  Padded
-    # vertices replicate vertex 0, which a wrapping arc genuinely passes
-    # through, and non-wrapping arcs never reach padding parameters — so no
-    # vertex-count input is needed.
-    end_p = pos + chord_p
-    end_q = at(pos, nxt_q[:, :, None])
-    endp = jnp.where(inp[:, :, None], end_p, end_q)    # [B, C, 2]
-    kp = jnp.arange(vp, dtype=p.dtype)
-    lo_p, hi_p = u_c[:, :, None], u2[:, :, None]
-    in_arc_p = jnp.where(hi_p <= lo_p, (kp > lo_p) | (kp < hi_p),
-                         (kp > lo_p) & (kp < hi_p)) & inp[:, :, None]
-    kq = jnp.arange(vq, dtype=p.dtype)
-    lo_q, hi_q = w_c[:, :, None], w2[:, :, None]
-    in_arc_q = jnp.where(hi_q <= lo_q, (kq > lo_q) | (kq < hi_q),
-                         (kq > lo_q) & (kq < hi_q)) \
-        & (sel & ~inp)[:, :, None]
+    if with_bbox:
+        # ---- per-arc bounding boxes (reclip probe only — measured ~11%
+        # step cost when computed unconditionally) ------------------------
+        # Arc extent = its two crossing endpoints + the original-polygon
+        # vertices whose boundary parameter lies strictly inside the arc's
+        # (lo, hi) interval (wrapping past parameter 0 when hi <= lo).
+        # Padded vertices replicate vertex 0, which a wrapping arc
+        # genuinely passes through, and non-wrapping arcs never reach
+        # padding parameters — so no vertex-count input is needed.
+        end_p = pos + chord_p
+        end_q = at(pos, nxt_q[:, :, None])
+        endp = jnp.where(inp[:, :, None], end_p, end_q)    # [B, C, 2]
+        kp = jnp.arange(vp, dtype=p.dtype)
+        lo_p, hi_p = u_c[:, :, None], u2[:, :, None]
+        in_arc_p = jnp.where(hi_p <= lo_p, (kp > lo_p) | (kp < hi_p),
+                             (kp > lo_p) & (kp < hi_p)) & inp[:, :, None]
+        kq = jnp.arange(vq, dtype=p.dtype)
+        lo_q, hi_q = w_c[:, :, None], w2[:, :, None]
+        in_arc_q = jnp.where(hi_q <= lo_q, (kq > lo_q) | (kq < hi_q),
+                             (kq > lo_q) & (kq < hi_q)) \
+            & (sel & ~inp)[:, :, None]
 
-    def _vmin(coords, mask):                           # -> [B, C]
-        return jnp.min(jnp.where(mask, coords[:, None, :], _BIG), axis=2)
+        def _vmin(coords, mask):                           # -> [B, C]
+            return jnp.min(jnp.where(mask, coords[:, None, :], _BIG), axis=2)
 
-    def _vmax(coords, mask):
-        return jnp.max(jnp.where(mask, coords[:, None, :], -_BIG), axis=2)
+        def _vmax(coords, mask):
+            return jnp.max(jnp.where(mask, coords[:, None, :], -_BIG),
+                           axis=2)
 
-    e_ok = sel[:, :, None]
-    exs = jnp.where(e_ok, jnp.stack([pos[..., 0], endp[..., 0]], -1), _BIG)
-    eys = jnp.where(e_ok, jnp.stack([pos[..., 1], endp[..., 1]], -1), _BIG)
-    sminx = jnp.minimum(jnp.min(exs, -1), jnp.minimum(
-        _vmin(p0[..., 0], in_arc_p), _vmin(q0[..., 0], in_arc_q)))
-    sminy = jnp.minimum(jnp.min(eys, -1), jnp.minimum(
-        _vmin(p0[..., 1], in_arc_p), _vmin(q0[..., 1], in_arc_q)))
-    exs = jnp.where(e_ok, jnp.stack([pos[..., 0], endp[..., 0]], -1), -_BIG)
-    eys = jnp.where(e_ok, jnp.stack([pos[..., 1], endp[..., 1]], -1), -_BIG)
-    smaxx = jnp.maximum(jnp.max(exs, -1), jnp.maximum(
-        _vmax(p0[..., 0], in_arc_p), _vmax(q0[..., 0], in_arc_q)))
-    smaxy = jnp.maximum(jnp.max(eys, -1), jnp.maximum(
-        _vmax(p0[..., 1], in_arc_p), _vmax(q0[..., 1], in_arc_q)))
+        e_ok = sel[:, :, None]
+        exs = jnp.where(e_ok, jnp.stack([pos[..., 0], endp[..., 0]], -1),
+                        _BIG)
+        eys = jnp.where(e_ok, jnp.stack([pos[..., 1], endp[..., 1]], -1),
+                        _BIG)
+        sminx = jnp.minimum(jnp.min(exs, -1), jnp.minimum(
+            _vmin(p0[..., 0], in_arc_p), _vmin(q0[..., 0], in_arc_q)))
+        sminy = jnp.minimum(jnp.min(eys, -1), jnp.minimum(
+            _vmin(p0[..., 1], in_arc_p), _vmin(q0[..., 1], in_arc_q)))
+        exs = jnp.where(e_ok, jnp.stack([pos[..., 0], endp[..., 0]], -1),
+                        -_BIG)
+        eys = jnp.where(e_ok, jnp.stack([pos[..., 1], endp[..., 1]], -1),
+                        -_BIG)
+        smaxx = jnp.maximum(jnp.max(exs, -1), jnp.maximum(
+            _vmax(p0[..., 0], in_arc_p), _vmax(q0[..., 0], in_arc_q)))
+        smaxy = jnp.maximum(jnp.max(eys, -1), jnp.maximum(
+            _vmax(p0[..., 1], in_arc_p), _vmax(q0[..., 1], in_arc_q)))
 
     contrib_sh = jnp.where(inp, arc_sh_p, jnp.where(sel, arc_sh_q, 0.0))
     contrib_mx = jnp.where(inp, arc_mx_p, jnp.where(sel, arc_mx_q, 0.0))
@@ -321,21 +332,22 @@ def region_stats(p: jnp.ndarray, q: jnp.ndarray, c_cap: int) -> RegionStats:
     len_r = jnp.einsum("bsr,bs->br", onehot, contrib_len)
     cnt_r = jnp.einsum("bsr,bs->br", onehot, contrib_cnt)
 
-    ob = (lab[:, :, None] == slot[None, None, :]) & sel[:, :, None]
-    bminx = jnp.min(jnp.where(ob, sminx[:, :, None], _BIG), axis=1)
-    bminy = jnp.min(jnp.where(ob, sminy[:, :, None], _BIG), axis=1)
-    bmaxx = jnp.max(jnp.where(ob, smaxx[:, :, None], -_BIG), axis=1)
-    bmaxy = jnp.max(jnp.where(ob, smaxy[:, :, None], -_BIG), axis=1)
-
     root = (lab == slot[None]) & sel
     valid = root & consistent[:, None] & (area_r > 0)
     safe = jnp.where(area_r > 0, area_r, 1.0)
     centroid = jnp.stack([mx_r / safe, my_r / safe], axis=-1)
     zero2 = jnp.zeros_like(centroid)
-    bbox = jnp.stack([
-        jnp.where(valid, bminx, _BIG), jnp.where(valid, bminy, _BIG),
-        jnp.where(valid, bmaxx, -_BIG), jnp.where(valid, bmaxy, -_BIG),
-    ], axis=-1)
+    bbox = None
+    if with_bbox:
+        ob = (lab[:, :, None] == slot[None, None, :]) & sel[:, :, None]
+        bminx = jnp.min(jnp.where(ob, sminx[:, :, None], _BIG), axis=1)
+        bminy = jnp.min(jnp.where(ob, sminy[:, :, None], _BIG), axis=1)
+        bmaxx = jnp.max(jnp.where(ob, smaxx[:, :, None], -_BIG), axis=1)
+        bmaxy = jnp.max(jnp.where(ob, smaxy[:, :, None], -_BIG), axis=1)
+        bbox = jnp.stack([
+            jnp.where(valid, bminx, _BIG), jnp.where(valid, bminy, _BIG),
+            jnp.where(valid, bmaxx, -_BIG), jnp.where(valid, bmaxy, -_BIG),
+        ], axis=-1)
     return RegionStats(
         area=jnp.where(valid, area_r, 0.0),
         centroid=jnp.where(valid[:, :, None], centroid, zero2),

@@ -82,6 +82,11 @@ class Simulation:
             pack_target=self.pack_target,
             nx=self.nx_coarse, ny=self.ny_coarse,
         )
+        # Pin closed-over forcing constants to host numpy: lowering a jitted
+        # step embeds each jaxpr constant by reading its value, and reading
+        # a device array back through the axon tunnel costs ~30 s PER
+        # CONSTANT (measured; see dynamics/step.py make_step_fn).
+        self.forcing = jax.tree_util.tree_map(np.asarray, self.forcing)
         cfg = self.cfg
         modulus = self.modulus
         heat_flux = self.heat_flux
@@ -192,6 +197,11 @@ class Simulation:
                         dissolved, tend, self.forcing, self.cfg,
                         self.cfg.numerics.dt, self.nx_coarse, self.ny_coarse)
                 self._vd_tend = tend
+            # keep the public field in sync mid-run: _auto_output's mass
+            # series and on_chunk callbacks read sim.dissolved (it was
+            # previously only written back after run() returned, so the
+            # recorded dissolved column was the stale pre-run value)
+            self.dissolved = np.asarray(dissolved)
             # Surface per-region pool overflow: those steps fell back to
             # aggregate contacts (physics degradation — raise
             # ContactConfig.region_pair_frac if this keeps firing).
