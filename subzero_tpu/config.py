@@ -91,8 +91,18 @@ class ContactConfig:
     # crossings are decomposed, compacted into a fixed pool of
     # ceil(frac * n_pairs) slots.  If the pool overflows, the whole step
     # falls back to aggregate contacts (a partial pool would break force
-    # antisymmetry); aux.region_overflow flags the degradation.
-    region_pair_frac: float = 0.015625
+    # antisymmetry); aux.region_overflow flags the degradation.  Under the
+    # Simulation driver with region_pool_auto the pool GROWS from this
+    # starting fraction on demand, so the default is sized for the common
+    # convex-dominated case (the pool's fixed overhead is the tax every
+    # step pays; see BASELINE.md).
+    region_pair_frac: float = 0.001953125  # 1/512
+    # Auto-size the pool (Simulation driver only): when a chunk reports
+    # pool overflow, the driver re-jits the step with the pool grown to the
+    # measured demand and RE-RUNS the chunk — no step ever executes with
+    # degraded (aggregate-fallback) physics, and no manual per-workload
+    # frac tuning is needed.  Costs one recompile per growth.
+    region_pool_auto: bool = True
     # Tangential length scale dl of per-region contacts: "chord" (default,
     # |region chord|, the TPU-native form — ensemble delta vs the reference
     # measured in validation/GOLDEN.md) or "edge_mean" (reference-exact mean
@@ -107,7 +117,8 @@ class ContactConfig:
     # "reclip": reference-exact finite-probe disambiguation
     #   (floe_interactions.m:139-165): displace floe 1 by the unit direction,
     #   re-decompose the overlap, match each region to its displaced image
-    #   (nearest centroid; the reference matches by polygon intersection),
+    #   by bbox overlap with a 1.5 m margin (the reference matches by
+    #   polygon intersection; odd toggle count = flip, oracle.py:371-378),
     #   and flip the direction when the displaced region's area GREW.  The
     #   1 m probe is finite, so this occasionally reverses the analytically
     #   correct direction (validation/GOLDEN.md measured 3/60 ensemble
@@ -190,9 +201,26 @@ class ProcessConfig:
     corner_keep_prob: float = 0.7           # rand>0.7 selects ~30% (Subzero.m:341)
     corner_max_overlap: float = 0.15        # skip heavily overlapped (:343)
     fracture_n_pieces: int = 3              # fracture.m:51 -> 3 Voronoi pieces
+    # Yield criterion: "mohr" = Mohr-Coulomb cone (fracture.m:21-28, the
+    # reference default — the cone assignment overwrites the ellipse), or
+    # "ellipse" = the Hibler elliptical yield curve (fracture.m:9-19) that
+    # the Nares recipe re-enables with Pstar = 1e5 (README.md Validation
+    # 2 item 7: "set Pstar = 1e5 and make sure all the Mohr's cone lines
+    # are commented out").
+    fracture_criterion: str = "mohr"
     fracture_sig_c: float = 250e3           # Mohr-Coulomb SigC (fracture.m:21-28)
     fracture_q: float = 5.2                 # Mohr-Coulomb slope q
     fracture_sig11: float = -3.375e4        # cone vertex (uniaxial: +1.5e5)
+    fracture_pstar: float = 2.25e5          # ellipse P* (fracture.m:9)
+    fracture_c: float = 20.0                # ellipse concentration decay C
+    # Driver compactness argument: P = Pstar*h*exp(-C*(1-compactness))
+    # (Subzero.m:335 passes 1).
+    fracture_compactness: float = 1.0
+    # Kill floes whose lowest vertex drops below the domain's southern wall
+    # (the Nares export rule, README.md Validation 2 item 6b: alive = 0 when
+    # min(c_alpha y) + Yi < min(boundary y)).  Their mass is EXPORTED, not
+    # dissolved, in the ledger.
+    kill_below_ymin: bool = False
     simplify_max_verts: int = 30            # Subzero.m:185
     fuse_min_area: float = 2e4              # kill/transfer fuse gate (f_i_all.m:477)
 

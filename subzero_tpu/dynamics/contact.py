@@ -309,11 +309,21 @@ def _reclip_flip(rs, vi_m: jnp.ndarray, vj_m: jnp.ndarray,
     (floe_interactions.m:139-165; ContactConfig.normal_dir = "reclip").
 
     For each region: displace floe 1 by the unit analytic direction (the
-    reference's 1 m probe), re-decompose the displaced overlap, match the
-    region to its displaced image by nearest centroid (the reference matches
-    by polygon intersection — within a 1 m move the centroid is the same
-    pairing, and it is robust where sliver-vs-sliver intersections are not,
-    see oracle.py:359-364), and flip where the displaced area GREW.
+    reference's 1 m probe), re-decompose the displaced overlap, and match
+    each displaced piece to the region by BBOX OVERLAP with a 1.5 m margin
+    (the reference matches by polygon intersection; bboxes give the same
+    pairing within a 1 m move and are robust where sliver-vs-sliver
+    intersections are not, oracle.py:371-378).  Each matching piece whose
+    area grew toggles the flip — net flip = odd toggle count.
+
+    Degradation note: when the DISPLACED decomposition is degenerate
+    (> region_cap crossings, inconsistent parity), its pieces are invalid
+    (``rs2.valid`` false), no piece matches, and the region silently keeps
+    the analytic direction — the same fallback the un-displaced
+    decomposition applies via ``rs.consistent`` in _blend_regions_compact.
+    The analytic direction is the first-order-exact descent direction, so
+    the fallback is benign (measured 3/60 ensemble pairs differ at all,
+    validation/GOLDEN.md).
 
     Cost: one extra ``region_stats`` on an [M*C] batch — opt-in only.
     """

@@ -43,6 +43,10 @@ class StepAux(NamedTuple):
     merge_j: jnp.ndarray          # [N, K] nbr k to be absorbed into floe i
     absorb_boundary: jnp.ndarray  # [N] floe >75% outside domain
     killed: jnp.ndarray           # [N] floes newly dead this step
+    exported: jnp.ndarray         # [N] killed floes whose mass LEFT the
+                                  # domain (out-of-domain / boundary absorb /
+                                  # below-ymin export) — ledger as exported,
+                                  # not dissolved
     nbr_overflow: jnp.ndarray     # broad-phase candidate overflow
     overlap_area: jnp.ndarray     # [N] total overlap area per floe
     collision_force: jnp.ndarray  # [N, 2]
@@ -184,6 +188,15 @@ def physics_step(
     # ---- kill flags -------------------------------------------------------
     alive_before = state.alive
     killed_boundary = bc.absorb | bc.out
+    if proc.kill_below_ymin:
+        # Nares export rule (README.md Validation 2 item 6b): a floe whose
+        # lowest vertex drops below the southern wall dies.  Padded slots
+        # repeat vertex 0, so the min over V is the min over real vertices.
+        y_min_wall = jnp.min(domain_verts[:, 1])
+        below = state.alive & (
+            jnp.min(verts_world[..., 1], axis=1) < y_min_wall)
+        killed_boundary = killed_boundary | below
+    exported = alive_before & killed_boundary  # mass leaves the domain
     if not proc.keep_min:
         # small-floe cull, device-side (Subzero.m:366-372)
         too_small = (state.area < cfg.min_floe_size) & (
@@ -219,6 +232,7 @@ def physics_step(
         merge_j=pc.merge_j,
         absorb_boundary=bc.absorb,
         killed=alive_before & ~state.alive,
+        exported=exported,
         nbr_overflow=nbr.overflow,
         overlap_area=overlap_total,
         collision_force=jnp.stack([cf_x, cf_y], axis=-1),

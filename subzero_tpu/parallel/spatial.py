@@ -224,6 +224,11 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
 
         alive_before = state.alive
         killed = b_absorb | b_out
+        if cfg.processes.kill_below_ymin and not periodic:
+            killed = killed | (state.alive & (
+                jnp.min(verts_loc[..., 1], axis=1)
+                < jnp.min(domain_rep[:, 1])))
+        exported = alive_before & killed  # mass leaves the domain
         if not cfg.processes.keep_min:
             killed = killed | (state.area < cfg.min_floe_size)
         state = state.replace(alive=state.alive & ~killed)
@@ -274,6 +279,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             merge_i=pc.merge_i, merge_j=pc.merge_j,
             absorb_boundary=b_absorb,
             killed=alive_before & ~state.alive,
+            exported=exported,
             nbr_overflow=nbr.overflow | r_of | l_of | mig_of,
             overlap_area=state.overlap_area,
             collision_force=jnp.stack([cf_x, cf_y], -1),
@@ -294,7 +300,8 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
     state_specs = FloeState(**{f: state_spec for f in fields})
     aux_specs = StepAux(
         n_collisions=P(), merge_i=state_spec, merge_j=state_spec,
-        absorb_boundary=state_spec, killed=state_spec, nbr_overflow=P(),
+        absorb_boundary=state_spec, killed=state_spec, exported=state_spec,
+        nbr_overflow=P(),
         overlap_area=state_spec, collision_force=state_spec,
         collision_torque=state_spec, nbr_idx=state_spec,
         pair_valid=state_spec, pair_px=state_spec, pair_py=state_spec,

@@ -211,6 +211,11 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
 
         alive_before = state.alive
         killed = b_absorb | b_out
+        if cfg.processes.kill_below_ymin and not periodic:
+            killed = killed | (state.alive & (
+                jnp.min(verts_loc[..., 1], axis=1)
+                < jnp.min(domain_rep[:, 1])))
+        exported = alive_before & killed  # mass leaves the domain
         if not cfg.processes.keep_min:
             killed = killed | (state.area < cfg.min_floe_size)
         state = state.replace(alive=state.alive & ~killed)
@@ -272,6 +277,7 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
             merge_i=pc.merge_i, merge_j=pc.merge_j,
             absorb_boundary=b_absorb,
             killed=alive_before & ~state.alive,
+            exported=exported,
             nbr_overflow=(nbr.overflow | r_of | l_of | u_of | d_of
                           | mig_of_x | mig_of_y),
             overlap_area=state.overlap_area,
@@ -296,7 +302,8 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
     state_specs = FloeState(**{f: spec for f in fields})
     aux_specs = StepAux(
         n_collisions=P(), merge_i=spec, merge_j=spec,
-        absorb_boundary=spec, killed=spec, nbr_overflow=P(),
+        absorb_boundary=spec, killed=spec, exported=spec,
+        nbr_overflow=P(),
         overlap_area=spec, collision_force=spec,
         collision_torque=spec, nbr_idx=spec,
         pair_valid=spec, pair_px=spec, pair_py=spec,

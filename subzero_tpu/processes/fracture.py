@@ -40,6 +40,41 @@ def mohr_cone_vertices(cfg: SimConfig) -> np.ndarray:
     return np.stack([mohr_x, mohr_y], axis=1)
 
 
+def ellipse_vertices(cfg: SimConfig, h_mean: float) -> np.ndarray:
+    """The Hibler elliptical yield curve in principal-stress space
+    (fracture.m:9-19): P = Pstar*h*exp(-C*(1-compactness)); an ellipse of
+    semi-axes (P*sqrt(2)/2, P*sqrt(2)/4) rotated 45 degrees and centered at
+    (-P/2, -P/2).  Used by the Nares recipe with Pstar = 1e5 (README.md
+    Validation 2 item 7)."""
+    proc = cfg.processes
+    p = proc.fracture_pstar * h_mean * np.exp(
+        -proc.fracture_c * (1.0 - proc.fracture_compactness))
+    t = np.linspace(0.0, 2.0 * np.pi, 100, endpoint=False)
+    a = p * np.sqrt(2.0) / 2.0
+    b = a / 2.0
+    x = a * np.cos(t)
+    y = b * np.sin(t)
+    c45, s45 = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    xr = c45 * x - s45 * y - p / 2.0
+    yr = s45 * x + c45 * y - p / 2.0
+    return np.stack([xr, yr], axis=1)
+
+
+def yield_curve_vertices(cfg: SimConfig, view: "HostView | None" = None
+                         ) -> np.ndarray:
+    """The configured yield polygon (fracture.m keeps floes whose principal
+    stresses fall INSIDE it).  The ellipse scales with the mean thickness of
+    the population (fracture.m:10 ``h = mean(cat(1,Floe.h))``)."""
+    if cfg.processes.fracture_criterion == "ellipse":
+        if view is not None:
+            h = view.fields["h"][view.alive]
+            h_mean = float(h.mean()) if h.size else 1.0
+        else:
+            h_mean = 1.0
+        return ellipse_vertices(cfg, h_mean)
+    return mohr_cone_vertices(cfg)
+
+
 def principal_stresses(stress: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Eigenvalues of the symmetric 2x2 stress [..., (xx, yy, xy)]."""
     sxx, syy, sxy = stress[..., 0], stress[..., 1], stress[..., 2]
@@ -137,7 +172,7 @@ def fracture_pass(
     deepest-overlap contact for the plastic-deformation substep.
     """
     edit = StateEdit()
-    mohr = mohr_cone_vertices(cfg)
+    mohr = yield_curve_vertices(cfg, view)
     p1, p2 = principal_stresses(view.stress)
     n_b = cfg.n_boundary
 

@@ -71,6 +71,7 @@ def test_chunk_merge_pairs_transient():
         merge_j=jnp.zeros((chunk, n, k), bool),
         absorb_boundary=jnp.zeros((chunk, n), bool),
         killed=jnp.zeros((chunk, n), bool),
+        exported=jnp.zeros((chunk, n), bool),
         nbr_overflow=jnp.zeros((chunk,), bool),
         overlap_area=jnp.zeros((chunk, n)),
         collision_force=jnp.zeros((chunk, n, 2)),
