@@ -27,6 +27,9 @@ import numpy as np
 
 N_FLOES = int(os.environ.get("BENCH_FLOES", 10240))
 IMPL = os.environ.get("BENCH_IMPL", "integral")   # integral | pallas | xla
+# Broad phase: "n2" (dense [N,N]) or "cells" (cell list — required at 50k+,
+# where the dense candidate matrix alone is ~10 GB)
+BROADPHASE = os.environ.get("BENCH_BROADPHASE", "n2")
 # per-region contacts are the production default (reference-exact physics);
 # BENCH_PER_REGION=0 measures the aggregate-contact mode (~13% faster)
 PER_REGION = os.environ.get("BENCH_PER_REGION", "1") == "1"
@@ -73,8 +76,13 @@ def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
         capacity=CapacityConfig(
             max_floes=cap, max_verts=16, max_neighbors=8,
             n_mc_points=256, stress_window=100,
+            # quad half-diagonal ~0.72*pitch; cell edge >= 2*max(rmax)
+            max_per_cell=8,
         ),
-        numerics=NumericsConfig(dtype=dtype, contact_impl=IMPL),
+        numerics=NumericsConfig(
+            dtype=dtype, contact_impl=IMPL, broadphase=BROADPHASE,
+            cell_size=1.5 * pitch if BROADPHASE == "cells" else 0.0,
+        ),
         domain=DomainConfig(lx=lx, ly=lx),
         processes=ProcessConfig(periodic=True),
         contact=ContactConfig(per_region=PER_REGION),

@@ -75,19 +75,52 @@ class HostView:
         return cm()
 
 
+import jax
+
+
+@jax.jit
+def _pack_view(state: FloeState):
+    """Pack every field the host passes need into ONE [N, F] device array.
+
+    Through the axon TPU tunnel every device->host transfer LEAF costs a
+    ~35-47 ms round trip regardless of size (measured; jax.device_get does
+    not batch leaves), so the ~23-leaf extraction cost ~800 ms per
+    lifecycle boundary — the dominant small-N campaign cost (round-3
+    VERDICT weak #4).  One packed array = one round trip.  All fields are
+    exactly representable in the state dtype (alive/nv are tiny ints).
+    """
+    n = state.n
+    dt = state.x.dtype
+    cols = [state.alive.astype(dt)[:, None],
+            state.nv.astype(dt)[:, None]]
+    cols += [getattr(state, k)[:, None] for k in SCALARS]
+    cols += [state.stress, state.strain]
+    cols += [state.verts_world().reshape(n, -1)]
+    return jnp.concatenate(cols, axis=1)
+
+
+@jax.jit
+def _pack_kin(state: FloeState):
+    return jnp.stack([state.u, state.v, state.ksi, state.dx_p, state.dy_p,
+                      state.du_p, state.dv_p, state.dksi_p], axis=1)
+
+
 def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
-    alive = np.asarray(state.alive)
-    nv = np.asarray(state.nv)
-    verts = np.asarray(state.verts_world())
+    packed = np.asarray(_pack_view(state))       # ONE device round trip
+    ns = len(SCALARS)
+    alive = packed[:, 0] != 0.0
+    nv = packed[:, 1].astype(np.int32)
+    fields = {k: packed[:, 2 + i] for i, k in enumerate(SCALARS)}
+    stress = packed[:, 2 + ns: 5 + ns]
+    strain = packed[:, 5 + ns: 8 + ns]
+    verts = packed[:, 8 + ns:].reshape(state.n, -1, 2)
     polys: list[np.ndarray | None] = [
         verts[i, : nv[i]].astype(np.float64) if alive[i] and nv[i] >= 3 else None
         for i in range(state.n)
     ]
-    fields = {k: np.asarray(getattr(state, k)) for k in SCALARS}
     return HostView(
-        n=state.n, alive=alive.copy(), nv=nv, polys=polys,
-        stress=np.asarray(state.stress), strain=np.asarray(state.strain),
-        fields=fields,
+        n=state.n, alive=alive, nv=nv, polys=polys,
+        stress=stress, strain=strain, fields=fields,
     )
 
 
@@ -345,18 +378,15 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
     # -- births (reshapes are births into the same slot) -------------------
     births: list[tuple[int, NewFloe]] = []
     reshape_slots = []
+    if edit.reshapes:
+        kin_names = ("u", "v", "ksi", "dx_p", "dy_p", "du_p", "dv_p",
+                     "dksi_p")
+        kin = np.asarray(_pack_kin(state))     # ONE device round trip
     for slot, (poly, new_mass) in edit.reshapes.items():
         nf = NewFloe(
             poly=poly, h=0.0, mass=new_mass,
-            u=float(np.asarray(state.u)[slot]),
-            v=float(np.asarray(state.v)[slot]),
-            ksi=float(np.asarray(state.ksi)[slot]),
-            dx_p=float(np.asarray(state.dx_p)[slot]),
-            dy_p=float(np.asarray(state.dy_p)[slot]),
-            du_p=float(np.asarray(state.du_p)[slot]),
-            dv_p=float(np.asarray(state.dv_p)[slot]),
-            dksi_p=float(np.asarray(state.dksi_p)[slot]),
             stress_blend=[(slot, 1.0)],
+            **{k: float(kin[slot, i]) for i, k in enumerate(kin_names)},
         )
         births.append((slot, nf))
         reshape_slots.append(slot)
@@ -412,16 +442,24 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         for s in slots:
             alive[s] = True
 
-        # stress ring-history blends: device-side scatter over affected rows
+        # stress ring-history blends: ONE batched gather/contract instead of
+        # per-birth device ops (each eager op is a remote dispatch through
+        # the axon tunnel)
         hist = state.stress_hist
-        rows = []
-        for s, f in births:
-            if f.stress_blend:
-                row = sum(w * hist[p] for p, w in f.stress_blend)
-            else:
-                row = jnp.zeros_like(hist[0])
-            rows.append(row)
-        hist = hist.at[jnp.asarray(slots)].set(jnp.stack(rows))
+        max_p = max((len(f.stress_blend) for _, f in births), default=0)
+        if max_p == 0:
+            rows = jnp.zeros((len(births),) + hist.shape[1:], hist.dtype)
+        else:
+            pidx = np.zeros((len(births), max_p), np.int32)
+            pw = np.zeros((len(births), max_p))
+            for bi, (_, f) in enumerate(births):
+                for pj, (p, w) in enumerate(f.stress_blend):
+                    pidx[bi, pj] = p
+                    pw[bi, pj] = w
+            rows = jnp.einsum(
+                "bp,bpwc->bwc", jnp.asarray(pw, hist.dtype),
+                hist[jnp.asarray(pidx)])
+        hist = hist.at[jnp.asarray(slots)].set(rows)
         stress_mean = jnp.mean(hist, axis=1)
         upd["stress_hist"] = hist
         upd["stress"] = stress_mean

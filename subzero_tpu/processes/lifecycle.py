@@ -98,12 +98,63 @@ class Lifecycle:
         # exported, not dissolved — tracked so the total ledger
         # floes + dissolved + exported stays closed
         self.exported_mass = 0.0
+        # optional capacity-growth hook (state, need_slots) -> grown state:
+        # when set, a birth burst grows the floe pool instead of the
+        # capacity guard dissolving the smallest births (the reference's
+        # arrays grow unbounded, fracture.m:51-55)
+        self.grow_fn = None
+        # f64 shadow ledger: when True, every lifecycle invocation checks
+        # (floes + dissolved + exported) in float64 before vs after its
+        # edits and accumulates the drift — the instrument that pins which
+        # pass leaks mass (round-3 uniaxial +0.13% residual investigation).
+        self.shadow_ledger = False
+        self.ledger_drift = 0.0
+        self.ledger_drift_max = 0.0
 
     # ------------------------------------------------------------------
+
+    def dues(self, step_idx: int, hints: "dict | None" = None) -> dict:
+        """Which process passes are due at this chunk boundary.
+
+        ``hints``: cheap device-derived facts about the current state that
+        let a pass be skipped WITHOUT pulling the state to the host (the
+        skip is exact — a gated-out pass could not have changed anything):
+
+          any_oversize      a live floe exceeds simplify_max_verts
+                            (FloeSimplify only fires on >30-vertex floes,
+                            Subzero.m:185)
+          any_contact       any contact force or boundary touch in the last
+                            step (corner breaks require a vertex in contact,
+                            corners.m:69-91)
+          any_pair_overlap  any nonzero overlap area in the last step
+                            (ridge/raft gates require overlap,
+                            floe_interactions_all.m:291-327)
+        """
+        cfg = self.cfg
+        proc = cfg.processes
+        due = lambda k: k > 0 and step_idx % k == 0  # noqa: E731
+        h = hints or {}
+        any_ov = bool(h.get("any_pair_overlap", True))
+        return {
+            "ridge": proc.ridging and due(proc.n_ocean_force) and any_ov,
+            "raft": proc.rafting and due(proc.n_ocean_force) and any_ov,
+            "frac": proc.fractures and due(proc.n_fracture),
+            "corner": (proc.corners and due(proc.n_corners)
+                       and bool(h.get("any_contact", True))),
+            "simp": (due(proc.n_simplify)
+                     and bool(h.get("any_oversize", True))),
+            "pack": proc.packing and due(proc.n_pack) and self.pack_h0 > 0,
+            "weld": (proc.welding and self.amax is not None
+                     and weld_schedule(step_idx, cfg, self.amax)) or None,
+        }
+
+    def any_due(self, step_idx: int, hints: "dict | None" = None) -> bool:
+        return any(self.dues(step_idx, hints).values())
 
     def step(self, state: FloeState, aux, step_idx: int,
              dissolved: np.ndarray,
              merge_pairs: "list[tuple[int, int]] | None" = None,
+             hints: "dict | None" = None,
              ) -> tuple[FloeState, np.ndarray, bool]:
         """Fire all due processes; returns (new_state, dissolved_grid,
         changed).  ``merge_pairs``: (absorbee, partner) overlap>0.55 pairs
@@ -111,18 +162,16 @@ class Lifecycle:
         step's neighbor table); when None they are derived from ``aux``
         (last step only)."""
         cfg = self.cfg
-        proc = cfg.processes
-        due = lambda k: k > 0 and step_idx % k == 0  # noqa: E731
 
         want_merge = aux is not None or merge_pairs is not None
-        want_ridge = proc.ridging and due(proc.n_ocean_force)
-        want_raft = proc.rafting and due(proc.n_ocean_force)
-        want_frac = proc.fractures and due(proc.n_fracture)
-        want_corner = proc.corners and due(proc.n_corners)
-        want_simp = due(proc.n_simplify)
-        want_pack = proc.packing and due(proc.n_pack) and self.pack_h0 > 0
-        weld_due = (proc.welding and self.amax is not None
-                    and weld_schedule(step_idx, cfg, self.amax)) or None
+        dues = self.dues(step_idx, hints)
+        want_ridge = dues["ridge"]
+        want_raft = dues["raft"]
+        want_frac = dues["frac"]
+        want_corner = dues["corner"]
+        want_simp = dues["simp"]
+        want_pack = dues["pack"]
+        weld_due = dues["weld"]
         # (the every-step small-floe cull runs device-side in physics_step)
         if want_merge:
             if merge_pairs is None and aux is not None:
@@ -140,6 +189,11 @@ class Lifecycle:
             return state, dissolved, False
 
         view = extract_view(state, cfg)
+        if self.shadow_ledger:
+            m_in = float(np.sum(view.fields["mass"][view.alive],
+                                dtype=np.float64))
+            dis_in = float(np.sum(dissolved, dtype=np.float64))
+            exp_in = self.exported_mass
         edit = StateEdit()
         boundary_polys = [view.poly(i) for i in range(cfg.n_boundary)
                           if view.polys[i] is not None]
@@ -190,8 +244,20 @@ class Lifecycle:
                 v, cfg, self.rng, self.pack_h0, self.pack_target,
                 self.nx, self.ny, conc=conc)))
 
-        # ---- capacity guard -----------------------------------------------
-        capacity_guard(edit, view.alive, cfg, step_idx)
+        # ---- capacity growth, then guard ----------------------------------
+        alive_now = view.alive
+        if edit.new_floes and self.grow_fn is not None:
+            freed = edit.kills | edit.dissolve_kills
+            n_free = sum(
+                1 for i in range(cfg.n_boundary, len(alive_now))
+                if (not alive_now[i]) or i in freed)
+            if len(edit.new_floes) > n_free:
+                need = len(alive_now) + len(edit.new_floes) - n_free
+                state = self.grow_fn(state, need)
+                alive_now = np.concatenate([
+                    alive_now,
+                    np.zeros(state.n - len(alive_now), bool)])
+        capacity_guard(edit, alive_now, cfg, step_idx)
 
         # ---- dissolved-mass bookkeeping ----------------------------------
         for i in edit.dissolve_kills:
@@ -205,6 +271,25 @@ class Lifecycle:
                        or edit.updates or edit.reshapes)
         state = apply_edits(state, edit, cfg,
                             seed=int(self.rng.integers(2**31)))
+        if self.shadow_ledger:
+            import jax
+
+            alive2, mass2 = jax.device_get((state.alive, state.mass))
+            m_out = float(np.sum(mass2[alive2], dtype=np.float64))
+            dis_out = float(np.sum(dissolved, dtype=np.float64))
+            drift = ((m_out + dis_out + self.exported_mass)
+                     - (m_in + dis_in + exp_in))
+            self.ledger_drift += drift
+            if abs(drift) > abs(self.ledger_drift_max):
+                self.ledger_drift_max = drift
+            if abs(drift) > 1e-6 * max(m_in, 1.0):
+                print(f"[ledger] step {step_idx}: lifecycle drift "
+                      f"{drift:+.3e} kg ({drift / max(m_in, 1.0):+.2e} "
+                      f"rel) — passes: merge={want_merge} "
+                      f"ridge={want_ridge} raft={want_raft} "
+                      f"frac={want_frac} corner={want_corner} "
+                      f"simp={want_simp} pack={want_pack} "
+                      f"weld={bool(weld_due)}")
         return state, dissolved, changed
 
     # ------------------------------------------------------------------

@@ -47,21 +47,30 @@ class Simulation:
     # cfg.processes.n_dt_out steps the driver writes a full-state snapshot +
     # Eulerian fields (+ a figure when ``plot_output``) under this directory
     # and appends to the total-mass series.  With cfg.processes.average the
-    # Eulerian fields are the time mean since the previous output
-    # (accumulated at chunk boundaries, i.e. a 5-step-stride sampling of the
-    # reference's every-step accumulation at Subzero.m:304-314).
+    # Eulerian fields are the time mean since the previous output,
+    # accumulated EVERY STEP inside the device scan — exactly the
+    # reference's accumulation at Subzero.m:304-314.
     output_dir: "str | Path | None" = None
     plot_output: bool = False
-    # moving walls (uniaxial case): step_idx -> (lx, ly) of the domain box
+    # moving walls (uniaxial case): step_idx -> (lx, ly) of the domain box.
+    # wall_cadence = the stride (in steps) at which wall_fn changes value;
+    # it bounds the chunk size so wall moves land on chunk boundaries
+    # (README.md Validation 1j: 15 m every 30 steps).
     wall_fn: "Callable[[int], tuple[float, float]] | None" = None
-    # multi-device: a jax.sharding.Mesh with axis "shards" switches the
-    # inner loop to the spatial-decomposition step (parallel/spatial.py)
+    wall_cadence: int = 30
+    # multi-device: a jax.sharding.Mesh switches the inner loop to the
+    # spatial-decomposition step — axis ("shards",) = 1-D x-slabs
+    # (parallel/spatial.py); axes ("sx", "sy") = 2-D tiles
+    # (parallel/spatial2d.py).  Rebalance/re-shard at lifecycle changes.
     mesh: "object | None" = None
 
     def __post_init__(self):
         if self.dissolved is None:
             self.dissolved = np.zeros((self.ny_coarse, self.nx_coarse))
         self._domain = domain_polygon(self.cfg)
+        # Re-init after a post-hoc ``sim.cfg = sim.cfg.replace(...)``: keep
+        # the lifecycle's run state (RNG stream, exported-mass ledger).
+        old_lc = getattr(self, "lifecycle", None)
         # lifecycle orchestrator (host-side topology surgery)
         from .forcing import thermo_params
         from .processes.lifecycle import Lifecycle
@@ -82,6 +91,18 @@ class Simulation:
             pack_target=self.pack_target,
             nx=self.nx_coarse, ny=self.ny_coarse,
         )
+        if old_lc is not None:
+            self.lifecycle.rng = old_lc.rng
+            self.lifecycle.exported_mass = old_lc.exported_mass
+            self.lifecycle.shadow_ledger = old_lc.shadow_ledger
+            self.lifecycle.ledger_drift = old_lc.ledger_drift
+            self.lifecycle.ledger_drift_max = old_lc.ledger_drift_max
+            if old_lc.amax is not None and (
+                    self.lifecycle.amax is None
+                    or old_lc.amax > self.lifecycle.amax):
+                # the weld pyramid cap only ever grows (Subzero.m:321-323)
+                self.lifecycle.amax = old_lc.amax
+        self.lifecycle.grow_fn = self._grow_floes
         # Pin closed-over forcing constants to host numpy: lowering a jitted
         # step embeds each jaxpr constant by reading its value, and reading
         # a device array back through the axon tunnel costs ~30 s PER
@@ -94,26 +115,55 @@ class Simulation:
         nx, ny = self.nx_coarse, self.ny_coarse
 
         if self.mesh is not None:
-            from .parallel import make_spatial_step, rebalance_slabs, shard_state
+            if tuple(self.mesh.axis_names) == ("sx", "sy"):
+                # 2-D (x, y) tile decomposition over a two-axis mesh
+                from .parallel import (
+                    make_spatial_step_2d, rebalance_tiles, shard_state_2d,
+                )
 
-            self._spatial_step = make_spatial_step(
-                cfg, self.forcing, modulus, heat_flux, self.mesh)
-            n_shards = int(np.prod(self.mesh.devices.shape))
-            self.state = shard_state(
-                rebalance_slabs(self.state, cfg, n_shards), self.mesh)
-            self._n_shards = n_shards
+                sx, sy = self.mesh.devices.shape
+                self._spatial_step = make_spatial_step_2d(
+                    cfg, self.forcing, modulus, heat_flux, self.mesh)
+                self._reshard = lambda st: shard_state_2d(
+                    rebalance_tiles(st, cfg, sx, sy), self.mesh)
+            else:
+                # 1-D x-slab decomposition (axis "shards")
+                from .parallel import (
+                    make_spatial_step, rebalance_slabs, shard_state,
+                )
+
+                n_shards = int(np.prod(self.mesh.devices.shape))
+                self._spatial_step = make_spatial_step(
+                    cfg, self.forcing, modulus, heat_flux, self.mesh)
+                self._reshard = lambda st: shard_state(
+                    rebalance_slabs(st, cfg, n_shards), self.mesh)
+            self.state = self._reshard(self.state)
+
+        avg = cfg.processes.average
+        adv = cfg.processes.advect_dissolved
 
         @jax.jit
         def chunk_fn(state: FloeState, start: jnp.ndarray, n: jnp.ndarray,
-                     dissolved: jnp.ndarray, domain_verts: jnp.ndarray):
-            """Run ``n`` physics steps (bounded by static chunk size)."""
+                     dissolved: jnp.ndarray, vd_tend, eul_acc,
+                     domain_verts: jnp.ndarray):
+            """Run ``n`` physics steps (bounded by static chunk size).
+
+            Everything that the reference driver does EVERY step rides
+            inside the scan: dissolved/exported kill-mass ledgers, the
+            dissolved-ice advection-diffusion (Advect_Dissolved_Ice.m), and
+            the AVERAGE Eulerian accumulation (Subzero.m:304-314 — exact
+            every-step accumulation, not a chunk-stride sample).  The
+            returned ``summary`` is ONE small device array so the host pays
+            a single round-trip per chunk (axon-tunnel latency dominated
+            small-N campaigns, round-3 VERDICT weak #4).
+            """
 
             def body(carry, i):
-                st, dis = carry
+                st, dis, exp, tend, acc = carry
                 idx = start + i
 
                 def do(args):
-                    st, dis = args
+                    st, dis, exp, tend, acc = args
                     if self.mesh is not None:
                         fn = getattr(self._spatial_step, "__wrapped__",
                                      self._spatial_step)
@@ -123,92 +173,305 @@ class Simulation:
                             st, self.forcing, idx, domain_verts, modulus,
                             heat_flux, cfg,
                         )
-                    dis2 = dis + dissolved_mass_grid(st, aux.killed, cfg,
-                                                     nx, ny)
-                    return (st2, dis2), aux
+                    # Kill-mass ledger: exported kills (out-of-domain /
+                    # absorb / below-ymin) leave the domain; the rest
+                    # dissolve onto the coarse grid (calc_dissolved_mass.m).
+                    dis2 = dis + dissolved_mass_grid(
+                        st, aux.killed & ~aux.exported, cfg, nx, ny)
+                    exp2 = exp + jnp.sum(
+                        jnp.where(aux.exported, st.mass, 0.0))
+                    tend2 = tend
+                    if adv:
+                        from .dissolved import advect_dissolved
+
+                        # forcing is pinned to host numpy (see above);
+                        # lift to device constants for the traced gather
+                        fdev = jax.tree_util.tree_map(jnp.asarray,
+                                                      self.forcing)
+                        dis2, tend2 = advect_dissolved(
+                            dis2, tend, fdev, cfg,
+                            cfg.numerics.dt, nx, ny)
+                        dis2 = dis2.astype(dis.dtype)
+                        tend2 = tend2.astype(tend.dtype)
+                    acc2 = acc
+                    if avg:
+                        acc2 = jax.tree_util.tree_map(
+                            lambda a, b: a + b.astype(a.dtype), acc,
+                            eulerian_data(st2, cfg, nx, ny))
+                    return (st2, dis2, exp2, tend2, acc2), aux
 
                 def skip(args):
-                    st, dis = args
-                    zaux = _zero_aux(st, cfg)
-                    return (st, dis), zaux
+                    return args, _zero_aux(args[0], cfg)
 
-                (st2, dis2), aux = jax.lax.cond(i < n, do, skip, (st, dis))
-                return (st2, dis2), aux
+                carry, aux = jax.lax.cond(
+                    i < n, do, skip, (st, dis, exp, tend, acc))
+                return carry, aux
 
-            (state, dissolved), auxes = jax.lax.scan(
-                body, (state, dissolved), jnp.arange(self._chunk)
-            )
-            return state, dissolved, auxes
+            exported0 = jnp.zeros((), dissolved.dtype)
+            (state, dissolved, exported, vd_tend, eul_acc), auxes = \
+                jax.lax.scan(
+                    body, (state, dissolved, exported0, vd_tend, eul_acc),
+                    jnp.arange(self._chunk)
+                )
+            last = n - 1
+            sdt = dissolved.dtype
+            summary = jnp.stack([
+                jnp.any(auxes.merge_i).astype(sdt),
+                exported.astype(sdt),
+                jnp.sum(auxes.region_overflow.astype(jnp.int32)).astype(sdt),
+                jnp.max(auxes.region_pool_need).astype(sdt),
+                jnp.max(auxes.n_collisions).astype(sdt),
+                # lifecycle skip hints (Lifecycle.dues)
+                jnp.any(state.alive & (
+                    state.nv > cfg.processes.simplify_max_verts)
+                ).astype(sdt),
+                (jnp.any(auxes.pair_valid[last])
+                 | jnp.any(auxes.boundary_contact[last])).astype(sdt),
+                jnp.any(auxes.overlap_area[last] > 0).astype(sdt),
+                jnp.any(auxes.nbr_overflow).astype(sdt),
+            ])
+            return state, dissolved, vd_tend, eul_acc, auxes, summary
 
-        # chunk = gcd of all process cadences (10, 20, 25, 75, 150, 500...)
-        # so every cadence boundary lands on a chunk boundary
-        self._chunk = 5
+        # chunk = gcd of the ACTIVE host-pass cadences (plus the output and
+        # moving-wall cadences) so every boundary that needs host work lands
+        # on a chunk boundary; inactive processes no longer force chunk=5
+        # (scan length is free at compile time — the body compiles once).
+        self._chunk = self._pick_chunk()
         self._chunk_fn = chunk_fn
+        self._chunk_frozen = False
+        self._built_cfg = self.cfg
+
+    def _pick_chunk(self) -> int:
+        """gcd of the active host-pass cadences (+ output + moving walls),
+        capped at 30 — every boundary that may need host work lands on a
+        chunk boundary, and inactive processes don't shrink the chunk."""
+        import math
+
+        proc = self.cfg.processes
+        cads = [proc.n_simplify, proc.n_dt_out]
+        if proc.ridging or proc.rafting:
+            cads.append(proc.n_ocean_force)
+        if proc.fractures:
+            cads.append(proc.n_fracture)
+        if proc.corners:
+            cads.append(proc.n_corners)
+        if proc.packing:
+            cads.append(proc.n_pack)
+        if proc.welding:
+            cads += [proc.n_weld, proc.n_weld_mid, proc.n_weld_coarse]
+        if self.wall_fn is not None:
+            cads.append(self.wall_cadence)
+        g = 0
+        for c in cads:
+            if c and c > 0:
+                g = math.gcd(g, c)
+        return max(1, min(g or 5, 30))
+
+    def _zero_eul(self):
+        dt = self.state.x.dtype
+        ny, nx = self.ny_coarse, self.nx_coarse
+        from .diagnostics import EulerianData
+
+        z = jnp.zeros((ny, nx), dt)
+        z3 = jnp.zeros((ny, nx, 3), dt)
+        return EulerianData(u=z, v=z, du=z, dv=z, h=z, c=z, mtot=z, area=z,
+                            over=z, stress=z3, strain=z3, stress_max_eig=z)
+
+    def _grow_pools(self, s: np.ndarray) -> bool:
+        """Auto-size fixed capacity pools from chunk telemetry
+        (ContactConfig.region_pool_auto): on per-region pool overflow, grow
+        region_pair_frac to the measured demand; on broad-phase candidate
+        overflow, grow max_neighbors.  Returns True when the cfg changed
+        (the caller re-runs the chunk with the re-jitted step so no step
+        ever executes with degraded physics)."""
+        if not self.cfg.contact.region_pool_auto:
+            return False
+        import dataclasses as dc
+
+        n_rov = int(s[2])
+        need = int(s[3])
+        nbr_ovf = bool(s[8])
+        grew = False
+        cfg = self.cfg
+        if n_rov and cfg.contact.region_pair_frac < 1.0:
+            p_count = self.state.n * cfg.capacity.max_neighbors
+            frac = cfg.contact.region_pair_frac
+            new_frac = min(1.0, max(2 * frac,
+                                    1.25 * need / max(p_count, 1)))
+            print(f"[sim] step {self.step_idx}: per-region pool demand "
+                  f"{need} exceeded the pool — growing region_pair_frac "
+                  f"{frac:.4g} -> {new_frac:.4g} and re-running the chunk")
+            cfg = cfg.replace(contact=dc.replace(
+                cfg.contact, region_pair_frac=new_frac))
+            grew = True
+        if nbr_ovf:
+            k = cfg.capacity.max_neighbors
+            new_k = min(int(k * 1.5) + 1, self.state.n)
+            if new_k > k:
+                print(f"[sim] step {self.step_idx}: broad-phase candidate "
+                      f"overflow — growing max_neighbors {k} -> {new_k} "
+                      "and re-running the chunk")
+                cfg = cfg.replace(capacity=dc.replace(
+                    cfg.capacity, max_neighbors=new_k))
+                grew = True
+        if grew:
+            self.cfg = cfg
+            self.__post_init__()   # re-jit; lifecycle RNG/ledger preserved
+        return grew
+
+    def _grow_floes(self, state: FloeState, need: int) -> FloeState:
+        """Grow the floe capacity to at least ``need`` slots (padding every
+        state array with dead slots) and re-jit.  Hooked into the lifecycle
+        as ``grow_fn``: a fracture storm grows the pool instead of the
+        capacity guard dissolving births (the reference's arrays grow
+        without bound, fracture.m:51-55) — and runs before the storm don't
+        pay for headroom they don't use yet."""
+        import dataclasses as dc
+
+        mult = 8
+        if self.mesh is not None:
+            import math
+
+            mult = math.lcm(8, int(np.prod(self.mesh.devices.shape)))
+        new_cap = max(need, int(state.n * 1.5))
+        new_cap = -(-new_cap // mult) * mult
+        print(f"[sim] step {self.step_idx}: growing floe capacity "
+              f"{state.n} -> {new_cap}")
+        self.cfg = self.cfg.replace(capacity=dc.replace(
+            self.cfg.capacity, max_floes=new_cap))
+        from .state import empty_state
+
+        proto = empty_state(self.cfg, dtype=state.x.dtype)
+        upd = {}
+        for f in dataclasses.fields(state):
+            arr = getattr(state, f.name)
+            tail = getattr(proto, f.name)[arr.shape[0]:]
+            upd[f.name] = jnp.concatenate([arr, tail], axis=0)
+        state = proto.replace(**upd)
+        # defer the re-jit to the run loop (self.cfg is not self._built_cfg)
+        return state
+
+    def _update_walls(self) -> None:
+        """Moving walls (uniaxial case): rebuild the domain polygon only
+        when the wall position actually changed (it moves every
+        ``wall_cadence`` steps — re-uploading every chunk is wasted
+        dispatch)."""
+        lx, ly = self.wall_fn(self.step_idx)
+        if getattr(self, "_wall_now", None) == (lx, ly):
+            return
+        self._wall_now = (lx, ly)
+        dom_np = np.array([[-lx, -ly], [lx, -ly], [lx, ly], [-lx, ly]])
+        pad, _ = _pad_domain(dom_np)
+        self._domain = jnp.asarray(pad, self.state.x.dtype)
+        self.lifecycle.domain_poly = dom_np
 
     # -- main loop ---------------------------------------------------------
 
     def run(self, n_steps: int,
             on_chunk: Callable[["Simulation", StepAux], None] | None = None,
             log_every: int = 0) -> "Simulation":
-        """Advance ``n_steps``; host callbacks at chunk boundaries."""
+        """Advance ``n_steps``; host callbacks at chunk boundaries.
+
+        Host work per chunk is one small-array fetch (the chunk summary);
+        the lifecycle — including its state extraction — runs only when a
+        pass is actually due (by cadence AND the device-derived skip hints)
+        or a merge was flagged.  Everything else stays on device between
+        output boundaries.
+        """
         done = 0
         t0 = time.time()
-        dissolved = jnp.asarray(self.dissolved, self.state.x.dtype)
+        if self.cfg is not self._built_cfg:
+            # cfg was replaced after construction: rebuild the compiled
+            # chunk (process flags are compile-time constants); lifecycle
+            # RNG/ledger state is preserved across the re-init
+            self.__post_init__()
+        if not getattr(self, "_chunk_frozen", False):
+            # wall_fn / output_dir may be attached after construction:
+            # re-derive the chunk once, before the first trace (chunk_fn
+            # closes over it at trace time)
+            self._chunk = self._pick_chunk()
+            self._chunk_frozen = True
+        dt_ = self.state.x.dtype
+        dissolved = jnp.asarray(self.dissolved, dt_)
+        vd_tend = getattr(self, "_vd_tend", None)
+        if self.cfg.processes.advect_dissolved:
+            if vd_tend is None:
+                vd_tend = jnp.zeros_like(dissolved)
+        else:
+            vd_tend = None
+        eul_acc = getattr(self, "_eul_acc", None)
+        if self.cfg.processes.average:
+            if eul_acc is None:
+                eul_acc = self._zero_eul()
+                self._eul_n = 0
+        else:
+            eul_acc = None
         while done < n_steps:
-            n = min(self._chunk, n_steps - done)
+            # land on multiples of the chunk so process cadences stay on
+            # chunk boundaries even after a partial run() call
+            n = min(self._chunk - (self.step_idx % self._chunk),
+                    n_steps - done)
             if self.wall_fn is not None:
-                # moving walls (uniaxial case): rebuild the domain polygon
-                lx, ly = self.wall_fn(self.step_idx)
-                dom_np = np.array([[-lx, -ly], [lx, -ly], [lx, ly], [-lx, ly]])
-                pad, _ = _pad_domain(dom_np)
-                self._domain = jnp.asarray(pad, self.state.x.dtype)
-                self.lifecycle.domain_poly = dom_np
-            self.state, dissolved, auxes = self._chunk_fn(
-                self.state, jnp.asarray(self.step_idx), jnp.asarray(n),
-                dissolved, self._domain,
-            )
+                self._update_walls()
+            for attempt in range(8):
+                (st2, dis2, vd2, eul2, auxes, summary) = self._chunk_fn(
+                    self.state, jnp.asarray(self.step_idx), jnp.asarray(n),
+                    dissolved, vd_tend, eul_acc, self._domain,
+                )
+                # ONE device->host round trip per chunk
+                s = np.asarray(summary)
+                if not self._grow_pools(s):
+                    break
+                # a capacity pool overflowed: the step ran with degraded
+                # physics (aggregate-contact fallback / dropped candidate
+                # contacts) — the cfg was grown and re-jitted; RE-RUN the
+                # chunk from the same inputs so no degraded step survives
+            self.state, dissolved, vd_tend, eul_acc = st2, dis2, vd2, eul2
             self.step_idx += n
             done += n
-            # host-side lifecycle at the chunk boundary
-            aux_last = jax.tree_util.tree_map(lambda a: a[n - 1], auxes)
-            merge_pairs = chunk_merge_pairs(auxes, n)
-            dis_np = np.asarray(dissolved)
-            self.state, dis_np, changed = self.lifecycle.step(
-                self.state, aux_last, self.step_idx, dis_np,
-                merge_pairs=merge_pairs,
-            )
-            if changed and self.mesh is not None:
-                from .parallel import rebalance_slabs, shard_state
-
-                self.state = shard_state(
-                    rebalance_slabs(self.state, self.cfg, self._n_shards),
-                    self.mesh)
-            dissolved = jnp.asarray(dis_np, self.state.x.dtype)
-            if self.cfg.processes.advect_dissolved:
-                # Advect-diffuse the dissolved field (Advect_Dissolved_Ice.m;
-                # carried disabled by the reference driver, Subzero.m:359)
-                from .dissolved import advect_dissolved
-
-                tend = getattr(self, "_vd_tend", None)
-                if tend is None:
-                    tend = jnp.zeros_like(dissolved)
-                for _ in range(n):
-                    dissolved, tend = advect_dissolved(
-                        dissolved, tend, self.forcing, self.cfg,
-                        self.cfg.numerics.dt, self.nx_coarse, self.ny_coarse)
-                self._vd_tend = tend
-            # keep the public field in sync mid-run: _auto_output's mass
-            # series and on_chunk callbacks read sim.dissolved (it was
-            # previously only written back after run() returned, so the
-            # recorded dissolved column was the stale pre-run value)
-            self.dissolved = np.asarray(dissolved)
+            merge_any = bool(s[0])
+            exported = float(s[1])
+            n_rov = int(s[2])
+            need = int(s[3])
+            ncol = int(s[4])
+            hints = {
+                "any_oversize": bool(s[5]),
+                "any_contact": bool(s[6]),
+                "any_pair_overlap": bool(s[7]),
+            }
+            # device-side export kills (Nares below-ymin, out-of-domain,
+            # boundary absorption) fold into the exported-mass ledger
+            if exported:
+                self.lifecycle.exported_mass += exported
+            if eul_acc is not None:
+                self._eul_n = getattr(self, "_eul_n", 0) + n
+            # host-side lifecycle at the chunk boundary — only when due
+            if merge_any or self.lifecycle.any_due(self.step_idx, hints):
+                aux_last = _unpack_aux(
+                    np.asarray(_pack_aux_last(auxes, jnp.asarray(n))))
+                if merge_any:
+                    mk = np.asarray(_pack_merges(auxes))
+                    merge_pairs = _merge_pairs_from(
+                        mk[..., 0] != 0, mk[..., 1].astype(np.int64), n)
+                else:
+                    merge_pairs = []
+                dis_np = np.asarray(dissolved)
+                self.state, dis_np, changed = self.lifecycle.step(
+                    self.state, aux_last, self.step_idx, dis_np,
+                    merge_pairs=merge_pairs, hints=hints,
+                )
+                if changed and self.mesh is not None:
+                    self.state = self._reshard(self.state)
+                dissolved = jnp.asarray(dis_np, dt_)
+                self.dissolved = dis_np
+                if self.cfg is not self._built_cfg:
+                    # the lifecycle grew the floe capacity: re-jit
+                    self.__post_init__()
             # Surface per-region pool overflow: those steps fell back to
             # aggregate contacts (physics degradation — raise
             # ContactConfig.region_pair_frac if this keeps firing).
             self.region_pool_need_max = max(
-                getattr(self, "region_pool_need_max", 0),
-                int(np.max(np.asarray(auxes.region_pool_need[:n]))))
-            n_rov = int(np.sum(np.asarray(auxes.region_overflow[:n])))
+                getattr(self, "region_pool_need_max", 0), need)
             if n_rov:
                 self.region_overflow_steps = (
                     getattr(self, "region_overflow_steps", 0) + n_rov)
@@ -221,11 +484,13 @@ class Simulation:
                         "region_pair_frac)"
                     )
             if self.output_dir is not None:
-                self._auto_output()
+                self.dissolved = np.asarray(dissolved)
+                eul_acc = self._auto_output(eul_acc)
             if on_chunk is not None:
+                self.dissolved = np.asarray(dissolved)
                 on_chunk(self, auxes)
             if log_every and (self.step_idx % log_every == 0):
-                self.record_metrics(auxes)
+                self.record_metrics(ncol)
                 m = self.metrics_history()
                 rate = done / max(time.time() - t0, 1e-9)
                 print(
@@ -233,35 +498,36 @@ class Simulation:
                     f"{m['collisions'][-1]} collisions, {rate:.1f} steps/s"
                 )
         self.dissolved = np.asarray(dissolved)
+        if vd_tend is not None:
+            self._vd_tend = vd_tend
+        if eul_acc is not None:
+            self._eul_acc = eul_acc
         return self
 
     # -- automatic output (Subzero.m:220-298) --------------------------------
 
-    def _auto_output(self) -> None:
-        """Accumulate AVERAGE fields each chunk; every n_dt_out steps write
-        snapshot + Eulerian fields (+ figure) and append the mass series."""
+    def _auto_output(self, eul_acc=None):
+        """Every n_dt_out steps write snapshot + Eulerian fields (+ figure)
+        and append the mass series.  ``eul_acc``: the device-side AVERAGE
+        accumulator (summed every step inside the scan); consumed and
+        re-zeroed at the output boundary.  Returns the (possibly reset)
+        accumulator."""
         n_out = self.cfg.processes.n_dt_out
-        if self.cfg.processes.average:
-            eul = {k: np.asarray(v) for k, v in self.eulerian()._asdict().items()}
-            acc = getattr(self, "_eul_acc", None)
-            if acc is None:
-                self._eul_acc = eul
-                self._eul_n = 1
-            else:
-                for k in acc:
-                    acc[k] = acc[k] + eul[k]
-                self._eul_n += 1
         if self.step_idx % n_out != 0:
-            return
+            return eul_acc
         out = Path(self.output_dir)
         snap = out / f"snap{self.step_idx:07d}"
-        self.save(snap)
-        if self.cfg.processes.average and getattr(self, "_eul_acc", None):
-            eul = {k: v / self._eul_n for k, v in self._eul_acc.items()}
-            self._eul_acc = None
+        if (self.cfg.processes.average and eul_acc is not None
+                and getattr(self, "_eul_n", 0) > 0):
+            acc = jax.device_get(eul_acc._asdict())
+            eul = {k: np.asarray(v) / self._eul_n for k, v in acc.items()}
+            eul_acc = self._zero_eul()
+            self._eul_n = 0
+            self._eul_acc = None  # interval complete: checkpoint saves none
         else:
             eul = {k: np.asarray(v)
                    for k, v in self.eulerian()._asdict().items()}
+        self.save(snap)
         np.savez_compressed(snap / "eulerian.npz", **eul)
         # total-mass series (Subzero.m:294-295); continue an existing
         # on-disk series across checkpoint resumes
@@ -274,7 +540,10 @@ class Simulation:
                           if row[0] < self.step_idx]
         series.append((self.step_idx, self.total_mass(),
                        float(np.sum(self.dissolved if self.dissolved
-                                    is not None else 0.0))))
+                                    is not None else 0.0)),
+                       self.lifecycle.exported_mass))
+        # older series rows had no exported column: pad with 0
+        series = [tuple(r) + (0.0,) * (4 - len(r)) for r in series]
         self._mass_series = series
         np.save(out / "mass_series.npy", np.asarray(series))
         if self.plot_output:
@@ -291,6 +560,7 @@ class Simulation:
                 plt.close(fig)
             except Exception as e:  # plotting must never kill a run
                 print(f"[sim] plot failed: {e}")
+        return eul_acc
 
     # -- observability -----------------------------------------------------
     # (SURVEY.md section 5: the reference has only tic/toc prints; here a
@@ -306,11 +576,11 @@ class Simulation:
             }
         return self._metrics
 
-    def record_metrics(self, auxes) -> None:
+    def record_metrics(self, n_collisions: int) -> None:
         m = self.metrics_history()
         m["step"].append(self.step_idx)
         m["wall_s"].append(time.time())
-        m["collisions"].append(int(np.max(np.asarray(auxes.n_collisions))))
+        m["collisions"].append(int(n_collisions))
         m["alive"].append(int(np.sum(np.asarray(self.state.alive))))
         m["mass"].append(float(total_mass(self.state)))
 
@@ -336,6 +606,10 @@ class Simulation:
     # snapshots replacing the .mat dumps at Subzero.m:285) ------------------
 
     def save(self, path: str | Path):
+        """Full-run checkpoint: SoA floe state + step counter + dissolved
+        grid + lifecycle RNG bit-generator + exported-mass ledger + AVERAGE
+        accumulator + metrics (SURVEY.md section 5 names "full SoA floe
+        state + RNG + step counter"; round-3 VERDICT missing #5)."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         arrays = {
@@ -352,9 +626,32 @@ class Simulation:
             "seed": self.seed,
             "pack_target": self.pack_target,
             "cfg": dataclasses.asdict(self.cfg),
+            # lifecycle run state: the PCG64 state dict round-trips through
+            # JSON (python ints are arbitrary precision)
+            "lifecycle": {
+                "rng_state": self.lifecycle.rng.bit_generator.state,
+                "exported_mass": self.lifecycle.exported_mass,
+                "amax": self.lifecycle.amax,
+            },
+            "telemetry": {
+                "region_overflow_steps":
+                    getattr(self, "region_overflow_steps", 0),
+                "region_pool_need_max":
+                    getattr(self, "region_pool_need_max", 0),
+            },
+            "metrics": getattr(self, "_metrics", None),
         }
         (path / "meta.json").write_text(json.dumps(meta, indent=1))
         np.save(path / "dissolved.npy", self.dissolved)
+        # AVERAGE accumulator (partial output interval) + dissolved-advection
+        # AB2 tendency
+        acc = getattr(self, "_eul_acc", None)
+        if acc is not None and getattr(self, "_eul_n", 0):
+            np.savez_compressed(path / "eul_acc.npz", _eul_n=self._eul_n,
+                                **jax.device_get(acc._asdict()))
+        tend = getattr(self, "_vd_tend", None)
+        if tend is not None:
+            np.save(path / "vd_tend.npy", np.asarray(tend))
 
     @classmethod
     def load(cls, path: str | Path, cfg: SimConfig, forcing: Forcing,
@@ -362,23 +659,50 @@ class Simulation:
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
         data = np.load(path / "state.npz")
+        # Adopt capacities the saved run had auto-grown (floe slots,
+        # neighbor table, per-region pool): a resumed campaign leg must not
+        # start below the demand the previous leg already measured.
+        saved_cfg = meta.get("cfg") or {}
+        import dataclasses as dc
+
+        scap = saved_cfg.get("capacity") or {}
+        scon = saved_cfg.get("contact") or {}
+        cfg = cfg.replace(
+            capacity=dc.replace(
+                cfg.capacity,
+                max_floes=max(cfg.capacity.max_floes,
+                              scap.get("max_floes", 0)),
+                max_neighbors=max(cfg.capacity.max_neighbors,
+                                  scap.get("max_neighbors", 0)),
+            ),
+            contact=dc.replace(
+                cfg.contact,
+                region_pair_frac=max(cfg.contact.region_pair_frac,
+                                     scon.get("region_pair_frac", 0.0)),
+            ),
+        )
         from .state import empty_state
 
         proto = empty_state(cfg)
+        n_saved = data["alive"].shape[0]  # saved floe capacity
 
         def _fit(k):
             # Saved at a smaller floe capacity than cfg now asks for: pad
             # with empty slots so a resumed run can grow (capacity bumps
-            # between campaign legs must not invalidate snapshots).
+            # between campaign legs must not invalidate snapshots).  Only
+            # the floe axis may be padded: the leading dim must equal the
+            # SAVED floe capacity (a non-floe leading axis that happens to
+            # be smaller must error, not silently pad).
             arr = jnp.asarray(data[k], getattr(proto, k).dtype)
             tgt = getattr(proto, k)
             if (arr.shape != tgt.shape and arr.shape[1:] == tgt.shape[1:]
+                    and arr.shape[0] == n_saved
                     and arr.shape[0] < tgt.shape[0]):
                 arr = jnp.concatenate([arr, tgt[arr.shape[0]:]], axis=0)
             return arr
 
         state = proto.replace(**{k: _fit(k) for k in data.files})
-        return cls(
+        sim = cls(
             cfg=cfg, state=state, forcing=forcing,
             modulus=meta["modulus"], heat_flux=meta["heat_flux"],
             nx_coarse=meta["nx_coarse"], ny_coarse=meta["ny_coarse"],
@@ -387,6 +711,39 @@ class Simulation:
             pack_target=meta.get("pack_target", 1.0),
             dissolved=np.load(path / "dissolved.npy"),
         )
+        lc = meta.get("lifecycle")
+        if lc:
+            sim.lifecycle.rng.bit_generator.state = lc["rng_state"]
+            sim.lifecycle.exported_mass = lc["exported_mass"]
+            if lc["amax"] is not None:
+                sim.lifecycle.amax = lc["amax"]
+        tel = meta.get("telemetry") or {}
+        sim.region_overflow_steps = tel.get("region_overflow_steps", 0)
+        sim.region_pool_need_max = tel.get("region_pool_need_max", 0)
+        if meta.get("metrics"):
+            sim._metrics = meta["metrics"]
+        if (path / "eul_acc.npz").exists():
+            from .diagnostics import EulerianData
+
+            acc = dict(np.load(path / "eul_acc.npz"))
+            sim._eul_n = int(acc.pop("_eul_n"))
+            sim._eul_acc = EulerianData(
+                **{k: jnp.asarray(v) for k, v in acc.items()})
+        if (path / "vd_tend.npy").exists():
+            sim._vd_tend = jnp.asarray(np.load(path / "vd_tend.npy"))
+        return sim
+
+
+def _merge_pairs_from(mi: np.ndarray, nbr: np.ndarray, n: int
+                      ) -> "list[tuple[int, int]] | None":
+    mi = mi[:n]
+    nbr = nbr[:n]
+    if not mi.any():
+        return None
+    s_t, i_t, k_t = np.nonzero(mi)
+    return list(dict.fromkeys(
+        (int(i), int(nbr[s, i, k]))
+        for s, i, k in zip(s_t, i_t, k_t)))
 
 
 def chunk_merge_pairs(auxes: StepAux, n: int
@@ -397,14 +754,48 @@ def chunk_merge_pairs(auxes: StepAux, n: int
     (floe_interactions_all.m:470-501); flags raised at any step of the chunk
     must not be dropped just because the overlap cleared by the last step —
     each flag is resolved against its own step's neighbor table."""
-    mi = np.asarray(auxes.merge_i[:n])
-    if not mi.any():
-        return None
-    nbr = np.asarray(auxes.nbr_idx[:n])
-    s_t, i_t, k_t = np.nonzero(mi)
-    return list(dict.fromkeys(
-        (int(i), int(nbr[s, i, k]))
-        for s, i, k in zip(s_t, i_t, k_t)))
+    return _merge_pairs_from(np.asarray(auxes.merge_i),
+                             np.asarray(auxes.nbr_idx), n)
+
+
+@jax.jit
+def _pack_aux_last(auxes: StepAux, n):
+    """The lifecycle's last-step aux fields as ONE [N, K*7+1] device array
+    (a device->host leaf costs a full ~35-47 ms tunnel round trip, see
+    processes/host.py _pack_view)."""
+    i = n - 1
+    dt = auxes.pair_px.dtype
+    main = jnp.stack([
+        auxes.pair_valid[i].astype(dt), auxes.pair_px[i], auxes.pair_py[i],
+        auxes.pair_fx[i], auxes.pair_fy[i], auxes.pair_overlap[i],
+        auxes.nbr_idx[i].astype(dt),
+    ], axis=-1)                                       # [N, K, 7]
+    bc = auxes.boundary_contact[i].astype(dt)[:, None]
+    return jnp.concatenate([main.reshape(main.shape[0], -1), bc], axis=1)
+
+
+def _unpack_aux(packed: np.ndarray):
+    from types import SimpleNamespace
+
+    n = packed.shape[0]
+    k = (packed.shape[1] - 1) // 7
+    main = packed[:, :-1].reshape(n, k, 7)
+    return SimpleNamespace(
+        pair_valid=main[..., 0] != 0,
+        pair_px=main[..., 1], pair_py=main[..., 2],
+        pair_fx=main[..., 3], pair_fy=main[..., 4],
+        pair_overlap=main[..., 5],
+        nbr_idx=main[..., 6].astype(np.int32),
+        boundary_contact=packed[:, -1] != 0,
+    )
+
+
+@jax.jit
+def _pack_merges(auxes: StepAux):
+    """merge_i + nbr_idx over the whole chunk as ONE [c, N, K, 2] array."""
+    dt = auxes.pair_px.dtype
+    return jnp.stack([auxes.merge_i.astype(dt),
+                      auxes.nbr_idx.astype(dt)], axis=-1)
 
 
 def _pad_domain(rect: np.ndarray, v_cap: int = 8):
@@ -424,6 +815,7 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         merge_j=jnp.zeros((n, k), bool),
         absorb_boundary=jnp.zeros((n,), bool),
         killed=jnp.zeros((n,), bool),
+        exported=jnp.zeros((n,), bool),
         nbr_overflow=jnp.zeros((), bool),
         overlap_area=jnp.zeros((n,), dt),
         collision_force=jnp.zeros((n, 2), dt),
@@ -441,13 +833,12 @@ def out_of_box_sim(seed: int = 0, n_floes: int = 10) -> Simulation:
     """The reference's out-of-box configuration: ~10 Voronoi floes in a
     +-1e5 m box over the 4-gyre ocean, dt=10 s, collisions + corners only
     (README.md 'Running your first model'; Subzero.m:6-36)."""
-    from .config import ContactConfig
+    from .config import CapacityConfig
     from .init import initial_state
 
-    # tiny population: size the per-region pool so the decomposition never
-    # falls back to aggregate contacts (peak demand measured 212 of the
-    # ~90 ordered pair slots' ghost-expanded table in the r3 campaign)
-    cfg = SimConfig(contact=ContactConfig(region_pair_frac=0.5))
+    # per-region pool and floe capacity auto-size from demand
+    # (ContactConfig.region_pool_auto / Simulation._grow_floes): start lean
+    cfg = SimConfig(capacity=CapacityConfig(max_floes=max(4 * n_floes, 16)))
     state, modulus = initial_state(cfg, 1.0, n_floes, 0.25, seed=seed)
     forcing = gyre_ocean()
     return Simulation(cfg=cfg, state=state, forcing=forcing, modulus=modulus)

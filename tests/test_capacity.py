@@ -82,3 +82,58 @@ def test_resume_grows_capacity(tmp_path):
     sim2.run(5)
     assert np.isfinite(sim2.total_mass())
     assert abs(sim2.total_mass() / m0 - 1) < 0.5
+
+
+def test_resume_bit_identical(tmp_path):
+    """Full-checkpoint determinism (SURVEY.md section 5): running 2N steps
+    straight equals save-at-N + load + N steps BIT-IDENTICALLY, including
+    lifecycle randomness (fracture/corner RNG draws) in the second half —
+    i.e. the checkpoint carries the RNG bit-generator, exported mass, and
+    every other piece of run state."""
+    from subzero_tpu.sim import Simulation
+    from subzero_tpu.validation import winter_sim
+
+    n = 60  # covers corners (10), ridge/raft (10), simplify (20), weld (25)
+    sim_a = winter_sim(n_floes=24, seed=3)
+    sim_a.run(2 * n)
+
+    sim_b = winter_sim(n_floes=24, seed=3)
+    sim_b.run(n)
+    # RNG must have been consumed by lifecycle passes for the test to mean
+    # anything (a fresh default_rng would diverge from here)
+    state0 = winter_sim(n_floes=24, seed=3).lifecycle.rng.bit_generator.state
+    assert sim_b.lifecycle.rng.bit_generator.state != state0
+    sim_b.save(tmp_path / "snap")
+    sim_c = Simulation.load(tmp_path / "snap", sim_b.cfg, sim_b.forcing)
+    assert (sim_c.lifecycle.rng.bit_generator.state
+            == sim_b.lifecycle.rng.bit_generator.state)
+    sim_c.run(n)
+
+    import dataclasses as dc
+    for f in dc.fields(sim_a.state):
+        a = np.asarray(getattr(sim_a.state, f.name))
+        c = np.asarray(getattr(sim_c.state, f.name))
+        assert np.array_equal(a, c), f"state field {f.name} diverged"
+    assert np.array_equal(np.asarray(sim_a.dissolved),
+                          np.asarray(sim_c.dissolved))
+    assert sim_a.lifecycle.exported_mass == sim_c.lifecycle.exported_mass
+
+
+def test_grow_floes_preserves_state():
+    """Simulation._grow_floes pads every state array with dead slots and
+    the run loop re-jits; live floes are untouched and the run continues."""
+    from subzero_tpu.sim import out_of_box_sim
+
+    sim = out_of_box_sim(seed=0, n_floes=6)
+    sim.run(5)
+    n0 = sim.state.n
+    alive0 = int(np.asarray(sim.state.alive).sum())
+    x0 = np.asarray(sim.state.x)[:n0].copy()
+    st = sim._grow_floes(sim.state, n0 + 100)
+    assert st.n >= n0 + 100 and st.n % 8 == 0
+    assert sim.cfg.capacity.max_floes == st.n
+    assert int(np.asarray(st.alive).sum()) == alive0
+    assert np.array_equal(np.asarray(st.x)[:n0], x0)
+    sim.state = st
+    sim.run(5)  # re-jits via the built-cfg check
+    assert int(np.asarray(sim.state.alive).sum()) == alive0

@@ -37,7 +37,7 @@ def test_auto_output_and_average(tmp_path):
     snaps = sorted(p.name for p in tmp_path.iterdir() if p.is_dir())
     assert snaps == ["snap0000010", "snap0000020"]
     series = np.load(tmp_path / "mass_series.npy")
-    assert series.shape == (2, 3)
+    assert series.shape == (2, 4)   # step, floe mass, dissolved, exported
     assert np.all(series[:, 1] > 0)              # total mass recorded
     eul = np.load(tmp_path / "snap0000010" / "eulerian.npz")
     assert {"u", "v", "h", "c", "stress"} <= set(eul.files)
@@ -104,3 +104,99 @@ def test_eulerian_boundary_union():
     bu = np.asarray(_boundary_union_cell_areas(st, cfg, cells, 2))
     # union = 2*(4e4)^2 - 2e4*4e4 = 2.4e9 (per-floe sum would be 3.2e9)
     assert abs(bu.reshape(2, 2)[1, 0] - 2.4e9) < 1e3
+
+
+def test_advect_dissolved_driver():
+    """Driver-level Advect_Dissolved_Ice wiring (Subzero.m:359;
+    ProcessConfig.advect_dissolved): dissolved mass seeded into the grid
+    moves with the ocean current and is approximately conserved under
+    zero-flux boundaries (round-3 VERDICT weak #9)."""
+    from subzero_tpu.forcing import uniform_forcing
+
+    sim = _quiet_sim()
+    sim.forcing = uniform_forcing(lx=4e5, uo=0.5)
+    sim.cfg = sim.cfg.replace(processes=dataclasses.replace(
+        sim.cfg.processes, advect_dissolved=True))
+    sim.dissolved = np.zeros((10, 10))
+    sim.dissolved[5, 2] = 1000.0
+    m0 = float(sim.dissolved.sum())
+    sim.run(200)
+    vd = np.asarray(sim.dissolved)
+    com_x = float((vd * np.arange(10)[None, :]).sum() / vd.sum())
+    assert com_x > 2.05  # drifted east with uo > 0
+    assert float(vd.sum()) == pytest.approx(m0, rel=0.05)
+    assert float(vd.min()) >= 0.0
+    # the AB2 tendency persists for the next run() leg
+    assert getattr(sim, "_vd_tend", None) is not None
+
+
+def test_simulation_2d_mesh():
+    """End-to-end Simulation over a ("sx", "sy") 2-D tile mesh (round-3
+    VERDICT item 9): the driver builds the 2-D spatial step, runs chunks,
+    and rebalances at lifecycle boundaries."""
+    import jax
+    from jax.sharding import Mesh
+
+    from subzero_tpu.config import (
+        CapacityConfig, DomainConfig, NumericsConfig, ProcessConfig,
+    )
+    from subzero_tpu.forcing import uniform_forcing
+    from subzero_tpu.state import state_from_polygons
+
+    n_floes = 64
+    side = 8
+    pitch = 4000.0
+    lx = side * pitch / 2
+    cfg = SimConfig(
+        capacity=CapacityConfig(max_floes=128, max_verts=16,
+                                max_neighbors=8, n_mc_points=64,
+                                stress_window=16, max_ghosts=32),
+        numerics=NumericsConfig(dtype="float32"),
+        domain=DomainConfig(lx=lx, ly=lx),
+        processes=ProcessConfig(periodic=True, corners=False),
+    )
+    rng = np.random.default_rng(0)
+    sq = 0.5 * np.array([[-1., -1.], [1., -1.], [1., 1.], [-1., 1.]])
+    polys = []
+    for k in range(n_floes):
+        i, j = divmod(k, side)
+        center = np.array([-lx + (j + 0.5) * pitch, -lx + (i + 0.5) * pitch])
+        polys.append(sq * pitch * 0.9 + center)
+    vel = rng.uniform(-2.0, 2.0, size=(n_floes, 2))
+    st = state_from_polygons(polys, 0.5, cfg, velocities=vel)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("sx", "sy"))
+    from subzero_tpu.sim import Simulation
+
+    sim = Simulation(cfg=cfg, state=st,
+                     forcing=uniform_forcing(lx=4 * lx, dx=lx / 8, uo=0.1),
+                     modulus=1.6e8, mesh=mesh)
+    sim.run(20)
+    alive = np.asarray(sim.state.alive)
+    assert int(alive.sum()) == n_floes
+    assert np.all(np.isfinite(np.asarray(sim.state.x)[alive]))
+
+
+def test_auto_pool_growth():
+    """Capacity-pool auto-sizing (ContactConfig.region_pool_auto): overflow
+    telemetry grows the per-region pool to the measured demand and the
+    broad-phase candidate count; the caller then re-runs the chunk."""
+    import math
+
+    sim = _quiet_sim()
+    frac0 = sim.cfg.contact.region_pair_frac
+    s = np.zeros(9)
+    s[2], s[3] = 3, 500            # overflow steps, pool demand
+    assert sim._grow_pools(s)
+    assert sim.cfg.contact.region_pair_frac > frac0
+    p = sim.state.n * sim.cfg.capacity.max_neighbors
+    pool = max(128, math.ceil(p * sim.cfg.contact.region_pair_frac))
+    assert pool >= 500             # sized to demand, not just doubled
+    s = np.zeros(9)
+    s[8] = 1                       # broad-phase candidate overflow
+    k0 = sim.cfg.capacity.max_neighbors
+    assert sim._grow_pools(s)
+    assert sim.cfg.capacity.max_neighbors > k0
+    assert not sim._grow_pools(np.zeros(9))
+    # the grown sim still runs
+    sim.run(10)
+    assert int(np.asarray(sim.state.alive).sum()) > 0

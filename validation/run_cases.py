@@ -159,6 +159,9 @@ def run_uniaxial(steps: int):
     sim.wall_fn = wall_fn
     sim = _maybe_resume(sim, "uniaxial")
     sim.wall_fn = wall_fn
+    # f64 shadow ledger: pin any lifecycle-pass mass leak per invocation
+    # (round-3 uniaxial +0.13% residual investigation)
+    sim.lifecycle.shadow_ledger = True
     n0 = int(np.asarray(sim.state.alive).sum())
     m0 = _total(sim)
     t0 = time.time()
@@ -168,8 +171,12 @@ def run_uniaxial(steps: int):
     extra = {
         "wall position Ly": f"{ly/1e3:.1f} km (target 85 km)",
         "floes (fracture grows count)": f"{n0} -> {n1}",
+        "floe capacity (auto-grown)": sim.state.n,
         "max principal stress [Pa]":
             f"{float(np.max(np.asarray(sim.state.stress))):.3e}",
+        "shadow-ledger drift [kg]":
+            f"{sim.lifecycle.ledger_drift:+.3e} "
+            f"(max single {sim.lifecycle.ledger_drift_max:+.3e})",
     }
     extra.update(_ledger(sim, m0))
     _summarize("uniaxial", sim, time.time() - t0, extra)
@@ -199,6 +206,14 @@ def run_nares(steps: int):
         "mean southward drift": f"{float(np.mean(moved)):.1f} m",
         "initial-floe deaths (export + dissolve kills)": exported,
     }
+    series_p = OUT / "nares" / "mass_series.npy"
+    if series_p.exists():
+        series = np.load(series_p)
+        if series.shape[1] >= 4:
+            hits = np.nonzero(series[:, 3] > 0)[0]
+            extra["first export at step"] = (
+                int(series[hits[0], 0]) if len(hits) else
+                "none yet (see exported ledger)")
     extra.update(_ledger(sim, m0))
     _summarize("nares", sim, time.time() - t0, extra)
 
