@@ -359,12 +359,31 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         alive[i] = False
 
     # -- scalar updates: group by field -> one device scatter each ---------
+    # Scatter shapes are BUCKETED (padded to the next power of two by
+    # repeating entry 0 — a duplicate index written with the same value is
+    # idempotent): every distinct eager-op shape compiles a fresh backend
+    # executable, and through the axon tunnel each remote compile costs
+    # ~0.5 s.  Unbucketed, a winter run spent 99% of its wall time
+    # compiling scatters for every new birth count (measured: 205 compiles
+    # in 50 steps).
     upd: dict[str, jnp.ndarray] = {}
+
+    def _padded(slots, vals):
+        slots = np.asarray(slots)
+        vals = np.asarray(vals)
+        b = 8
+        while b < len(slots):
+            b *= 2
+        if b != len(slots):
+            pad = b - len(slots)
+            slots = np.concatenate([slots, np.repeat(slots[:1], pad)])
+            vals = np.concatenate([vals, np.repeat(vals[:1], pad, axis=0)])
+        return slots, vals
 
     def scatter(name, slots, vals):
         base = upd.get(name, getattr(state, name))
-        upd[name] = base.at[np.asarray(slots)].set(
-            jnp.asarray(np.asarray(vals), base.dtype))
+        slots, vals = _padded(slots, vals)
+        upd[name] = base.at[slots].set(jnp.asarray(vals, base.dtype))
 
     by_field: dict[str, tuple[list, list]] = {}
     for slot, kv in edit.updates.items():
@@ -443,23 +462,35 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
             alive[s] = True
 
         # stress ring-history blends: ONE batched gather/contract instead of
-        # per-birth device ops (each eager op is a remote dispatch through
-        # the axon tunnel)
+        # per-birth device ops, with births/parents bucketed to powers of
+        # two (shape-stable -> the backend compile caches; padded rows
+        # duplicate row 0 so the duplicate-slot scatter is idempotent)
         hist = state.stress_hist
         max_p = max((len(f.stress_blend) for _, f in births), default=0)
+        bb = 8
+        while bb < len(births):
+            bb *= 2
+        slots_b = np.asarray(slots)
+        slots_b = np.concatenate(
+            [slots_b, np.repeat(slots_b[:1], bb - len(slots_b))])
         if max_p == 0:
-            rows = jnp.zeros((len(births),) + hist.shape[1:], hist.dtype)
+            rows = jnp.zeros((bb,) + hist.shape[1:], hist.dtype)
         else:
-            pidx = np.zeros((len(births), max_p), np.int32)
-            pw = np.zeros((len(births), max_p))
+            pb = 1
+            while pb < max_p:
+                pb *= 2
+            pidx = np.zeros((bb, pb), np.int32)
+            pw = np.zeros((bb, pb))
             for bi, (_, f) in enumerate(births):
                 for pj, (p, w) in enumerate(f.stress_blend):
                     pidx[bi, pj] = p
                     pw[bi, pj] = w
+            pidx[len(births):] = pidx[0]
+            pw[len(births):] = pw[0]
             rows = jnp.einsum(
                 "bp,bpwc->bwc", jnp.asarray(pw, hist.dtype),
                 hist[jnp.asarray(pidx)])
-        hist = hist.at[jnp.asarray(slots)].set(rows)
+        hist = hist.at[slots_b].set(rows)
         stress_mean = jnp.mean(hist, axis=1)
         upd["stress_hist"] = hist
         upd["stress"] = stress_mean

@@ -65,6 +65,16 @@ class Simulation:
     mesh: "object | None" = None
 
     def __post_init__(self):
+        # Remote (axon) backend compiles cost ~0.5 s even for the tiny
+        # eager scatter executables of apply_edits; persist them all when a
+        # compilation cache is configured (the default 5 s threshold would
+        # re-pay ~100 of them every process).
+        try:
+            if jax.config.jax_compilation_cache_dir:
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.1)
+        except Exception:
+            pass
         if self.dissolved is None:
             self.dissolved = np.zeros((self.ny_coarse, self.nx_coarse))
         self._domain = domain_polygon(self.cfg)
@@ -612,10 +622,18 @@ class Simulation:
         state + RNG + step counter"; round-3 VERDICT missing #5)."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        arrays = {
-            f.name: np.asarray(getattr(self.state, f.name))
-            for f in dataclasses.fields(self.state)
-        }
+        # ONE packed device->host fetch (~40 ms/leaf through the tunnel;
+        # 28 separate fetches cost ~1.3 s per snapshot).  Every field is
+        # exactly representable in the state dtype (alive/nv are tiny ints).
+        packed = np.asarray(_pack_state(self.state))
+        arrays = {}
+        off = 0
+        for f in dataclasses.fields(self.state):
+            a = getattr(self.state, f.name)
+            sz = int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
+            chunk = packed[:, off:off + sz].reshape(a.shape)
+            arrays[f.name] = np.asarray(chunk, a.dtype)
+            off += sz
         np.savez_compressed(path / "state.npz", **arrays)
         meta = {
             "step_idx": self.step_idx,
@@ -732,6 +750,18 @@ class Simulation:
         if (path / "vd_tend.npy").exists():
             sim._vd_tend = jnp.asarray(np.load(path / "vd_tend.npy"))
         return sim
+
+
+@jax.jit
+def _pack_state(state: FloeState):
+    """All state fields flattened into ONE [N, F] array (single-leaf
+    device->host fetch for checkpoints)."""
+    n = state.n
+    dt = state.x.dtype
+    return jnp.concatenate([
+        getattr(state, f.name).astype(dt).reshape(n, -1)
+        for f in dataclasses.fields(state)
+    ], axis=1)
 
 
 def _merge_pairs_from(mi: np.ndarray, nbr: np.ndarray, n: int
