@@ -106,7 +106,9 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
     export kill (item 6b).
     """
     lx, ly = 5e4, 3.75e5
-    shift = 1.25e5  # reference y=0 sits at -shift in our frame
+    # frame map: y_ours = y_ref - shift, so ref -250 km (southern wall,
+    # kill line) = our -375 km and ref +500 km (northern wall) = our +375
+    shift = 1.25e5
     cfg = SimConfig(
         physics=PhysicsConfig(mu_friction=0.25),
         processes=ProcessConfig(
@@ -122,24 +124,25 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
             n_mc_points=400, stress_window=1000,
         ),
     )
-    topo = nares_topography(lx, ly, channel_top=0.0 + shift,
-                            channel_bot=-1.5e5 + shift)
+    # channel top at ref y=0 (our -125 km), bottom at ref -150 km (our
+    # -275 km); the topography's funnel rises to ref ~+120 km (our -5 km)
+    topo = nares_topography(lx, ly, channel_top=-shift,
+                            channel_bot=-1.5e5 - shift)
     if islands:
         topo.append(np.array([
-            [-1e4, shift - 3e4], [1e4, shift - 3.5e4],
-            [1.2e4, shift - 1e4], [-8e3, shift - 0.8e4],
+            [-1e4, -shift - 3e4], [1e4, -shift - 3.5e4],
+            [1.2e4, -shift - 1e4], [-8e3, -shift - 0.8e4],
         ]))
 
-    # floes fill the basin north of the funnel: generate in a symmetric box
-    # of half-height ly_b, then translate its center up to the basin center
-    funnel_top = shift + 1.2e5
-    ly_b = (ly - funnel_top) / 2
-    basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly_b))
+    # target concentration [1; 0] (README 1d): floes fill the TOP HALF of
+    # the domain, ref y in [125, 500] km = ours [0, 375] — just north of
+    # the funnel top (our -5 km).  Generate in a symmetric box of
+    # half-height ly/2, then translate up to the upper-half center.
+    basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly / 2))
     polys, heights = voronoi_floe_field(
         basin_cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0,
         seed=seed)
-    basin_center_y = funnel_top + ly_b
-    polys = [p + np.array([0.0, basin_center_y]) for p in polys]
+    polys = [p + np.array([0.0, ly / 2]) for p in polys]
     polys = [p for p in polys if np.all(np.abs(p[:, 1]) < ly)]
     heights = heights[: len(polys)]
 
