@@ -196,12 +196,18 @@ def fracture_pass(
         if len(pieces) <= 1:
             continue
 
-        area_parent = view.area[i]
-        edit.kills.add(i)
         # Equal thickness -> mass proportional to area (fracture_floe.m:82).
-        # Shares are taken against the PARENT area, so the plastic-
-        # deformation clip's area loss (up to 10%) shows up as a mass
-        # remainder, binned to dissolved: the ledger stays exactly closed.
+        # Shares are normalized by the parent polygon's ACTUAL area (not
+        # the stored state field, which can lag the f32 world-frame polygon
+        # by ~1e-4 relative): children + remainder = parent mass exactly,
+        # and the plastic-deformation clip's area loss (up to 10%) shows up
+        # as a mass remainder binned to dissolved.  Normalizing by the
+        # stored area let fracture CREATE mass whenever the actual polygon
+        # ran larger, because the negative remainder was dropped — the
+        # round-3 uniaxial +0.13% ledger residual, pinned by the f64 shadow
+        # ledger (+5e-5 per fracture pass, frac=True lines only).
+        area_parent = abs(hg.area(np.asarray(view.poly(i))))
+        edit.kills.add(i)
         a_pieces = [max(poly_area(p), 0.0) for p in pieces]
         m_lost = float(view.mass[i] * (1.0 - sum(a_pieces) / area_parent))
         if m_lost > 0:

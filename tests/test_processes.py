@@ -114,6 +114,29 @@ class TestFracture:
         s = np.asarray(st2.stress)[np.asarray(st2.alive)]
         np.testing.assert_allclose(s, 0.0, atol=1e-12)
 
+    def test_mass_closed_under_stale_area(self):
+        """Fracture shares must normalize by the ACTUAL polygon area: when
+        the stored state `area` lags the world-frame polygon (f32 drift,
+        round-3 uniaxial +0.13% residual), children + dissolved remainder
+        must still equal the parent mass exactly."""
+        cfg = cfg_small()
+        st = state_from_polygons([4000 * SQ], 0.5, cfg)
+        stress = np.zeros((st.n, 3))
+        stress[0] = [5e5, 5e5, 0.0]
+        # stored area 2e-4 SMALLER than the actual polygon (the leak case:
+        # pieces sum > stored -> negative remainder used to be dropped)
+        area = np.asarray(st.area).copy()
+        area[0] *= 1.0 - 2e-4
+        st = st.replace(stress=jnp.asarray(stress), area=jnp.asarray(area))
+        view = extract_view(st, cfg)
+        m0 = float(view.mass[0])
+        edit = fracture_pass(view, cfg, np.random.default_rng(0))
+        assert 0 in edit.kills and len(edit.new_floes) >= 2
+        m_children = sum(f.mass for f in edit.new_floes)
+        m_lost = sum(m for _, _, m in edit.dissolve_mass)
+        assert m_lost >= -1e-9 * m0
+        assert m_children + m_lost == pytest.approx(m0, rel=1e-12)
+
     def test_unstressed_floe_intact(self):
         cfg = cfg_small()
         st = state_from_polygons([4000 * SQ], 0.5, cfg)

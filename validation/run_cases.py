@@ -183,11 +183,20 @@ def run_uniaxial(steps: int):
 
 
 def run_nares(steps: int):
+    import dataclasses as dc
+
     from subzero_tpu.validation import nares_sim
 
     sim = nares_sim(n_floes=150, seed=0)
     sim.output_dir = OUT / "nares"
     sim.plot_output = True
+    if steps > 10000:
+        # export run (~19 days of model time for the lead floes to reach
+        # the ref -250 km kill line): thin the snapshot/figure cadence so
+        # output IO doesn't dominate the wall clock
+        sim.cfg = sim.cfg.replace(processes=dc.replace(
+            sim.cfg.processes, n_dt_out=1500))
+        sim.plot_output = False
     sim = _maybe_resume(sim, "nares")
     y0 = np.asarray(sim.state.y).copy()
     alive0 = np.asarray(sim.state.alive).copy()
@@ -216,6 +225,21 @@ def run_nares(steps: int):
                 "none yet (see exported ledger)")
     extra.update(_ledger(sim, m0))
     _summarize("nares", sim, time.time() - t0, extra)
+    if not sim.plot_output:  # long run: one final figure
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from subzero_tpu.plotting import plot_basic
+
+            fig = plot_basic(sim.state, sim.cfg, sim.forcing)
+            fig.savefig(OUT / "nares" / f"fig{sim.step_idx:07d}.png",
+                        dpi=110)
+            plt.close(fig)
+        except Exception as e:
+            print(f"[nares] final plot failed: {e}")
 
 
 def run_winter(steps: int):
