@@ -94,7 +94,7 @@ def nares_topography(lx: float, ly: float, channel_half_width: float = 2e4,
 
 
 def nares_sim(n_floes: int = 150, seed: int = 0,
-              islands: bool = False) -> Simulation:
+              islands: bool = False, full_basin: bool = False) -> Simulation:
     """Nares Strait export (README.md Validation 2).
 
     The reference domain is x in +-50 km, y in [-250, 500] km
@@ -138,11 +138,32 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
     # the domain, ref y in [125, 500] km = ours [0, 375] — just north of
     # the funnel top (our -5 km).  Generate in a symmetric box of
     # half-height ly/2, then translate up to the upper-half center.
-    basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly / 2))
-    polys, heights = voronoi_floe_field(
-        basin_cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0,
-        seed=seed)
-    polys = [p + np.array([0.0, ly / 2]) for p in polys]
+    # ``full_basin`` (export-demo variant, NOT the recipe): concentration
+    # [1; 1] — floes seeded through the whole domain including the strait
+    # and south basin, so the export/kill path fires within a short run
+    # (pack drift is ~8 cm/s; from the recipe's initial positions the
+    # ~400 km to the kill line takes ~0.5M steps).
+    if full_basin:
+        basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly))
+        polys, heights = voronoi_floe_field(
+            basin_cfg, 1.0, 2 * n_floes, height_mean=1.0, height_delta=0.0,
+            seed=seed)
+        # drop floes that overlap the coastline topography
+        from .native import poly_area, poly_boolean
+
+        def clear(p):
+            return all(
+                not any(abs(poly_area(r)) > 1.0
+                        for r in poly_boolean(p, t, "int"))
+                for t in topo)
+
+        polys = [p for p in polys if clear(p)]
+    else:
+        basin_cfg = cfg.replace(domain=DomainConfig(lx=lx, ly=ly / 2))
+        polys, heights = voronoi_floe_field(
+            basin_cfg, 1.0, n_floes, height_mean=1.0, height_delta=0.0,
+            seed=seed)
+        polys = [p + np.array([0.0, ly / 2]) for p in polys]
     polys = [p for p in polys if np.all(np.abs(p[:, 1]) < ly)]
     heights = heights[: len(polys)]
 

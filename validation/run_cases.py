@@ -268,17 +268,58 @@ def run_winter(steps: int):
     _summarize("winter", sim, time.time() - t0, extra)
 
 
+def run_nares_export(steps: int):
+    """Export-path demonstration: the Nares configuration with
+    concentration [1; 1] (floes through the whole domain incl. the strait
+    and south basin) so floes reach the reference's -250 km kill line
+    within the run.  The recipe-faithful [1; 0] case needs ~0.5M steps of
+    ~8 cm/s pack drift before the first export; this variant exercises the
+    same export physics (below-ymin kill -> exported-mass ledger) live."""
+    import dataclasses as dc
+
+    from subzero_tpu.validation import nares_sim
+
+    sim = nares_sim(n_floes=150, seed=0, full_basin=True)
+    sim.output_dir = OUT / "nares_export"
+    sim.plot_output = False
+    sim.cfg = sim.cfg.replace(processes=dc.replace(
+        sim.cfg.processes, n_dt_out=1500))
+    sim = _maybe_resume(sim, "nares_export")
+    nb = sim.cfg.n_boundary
+    alive0 = np.asarray(sim.state.alive).copy()
+    m0 = _total(sim)
+    t0 = time.time()
+    sim.run(steps - sim.step_idx, log_every=500)
+    alive1 = np.asarray(sim.state.alive)
+    deaths = int((alive0[nb:] & ~alive1[nb:]).sum())
+    extra = {
+        "initial-floe deaths": deaths,
+        "exported mass fired": sim.lifecycle.exported_mass > 0,
+    }
+    series_p = OUT / "nares_export" / "mass_series.npy"
+    if series_p.exists():
+        series = np.load(series_p)
+        if series.shape[1] >= 4:
+            hits = np.nonzero(series[:, 3] > 0)[0]
+            if len(hits):
+                extra["first export at step"] = int(series[hits[0], 0])
+    extra.update(_ledger(sim, m0))
+    _summarize("nares_export", sim, time.time() - t0, extra)
+
+
 CASES = {
     "out_of_box": run_out_of_box,
     "uniaxial": run_uniaxial,
     "nares": run_nares,
+    "nares_export": run_nares_export,
     "winter": run_winter,
 }
 
 # winter runs past n_pack=5500 so the packing pass fires at reference
 # cadence (winter/Subzero.m:105-109)
 DEFAULT_STEPS = {
-    "out_of_box": 7500, "uniaxial": 6000, "nares": 3000, "winter": 6000,
+    "out_of_box": 7500, "uniaxial": 6000, "nares": 3000,
+    "nares_export": 30000, "winter": 6000,
 }
 
 if __name__ == "__main__":
