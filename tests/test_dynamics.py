@@ -216,3 +216,37 @@ class TestStressStrain:
         assert np.any(stress[:2] != 0.0)
         # compression: sigma_xx negative on both floes
         assert stress[0, 0] < 0 and stress[1, 0] < 0
+
+
+def test_kill_below_ymin_exports():
+    """The Nares export rule (README.md Validation 2 item 6b,
+    ProcessConfig.kill_below_ymin): a floe whose lowest vertex drops below
+    the southern wall dies and its mass is flagged EXPORTED (not
+    dissolved) in the step aux."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from subzero_tpu.config import CapacityConfig, SimConfig
+    from subzero_tpu.dynamics.step import domain_polygon, physics_step
+    from subzero_tpu.forcing import uniform_forcing
+    from subzero_tpu.state import state_from_polygons
+
+    cfg = SimConfig(capacity=CapacityConfig(max_floes=8, max_verts=16,
+                                            n_mc_points=64,
+                                            stress_window=16))
+    cfg = cfg.replace(processes=dataclasses.replace(
+        cfg.processes, kill_below_ymin=True, corners=False))
+    sq = 2000.0 * np.array([[-1., -1.], [1., -1.], [1., 1.], [-1., 1.]])
+    # floe A straddles the southern wall (lowest vertex below -ly),
+    # floe B safely inside
+    polys = [sq + [0.0, -cfg.domain.ly + 1000.0], sq]
+    st = state_from_polygons(polys, 1.0, cfg)
+    st2, aux = physics_step(
+        st, uniform_forcing(lx=4e5), jnp.asarray(0), domain_polygon(cfg),
+        1e8, 0.0, cfg)
+    killed = np.asarray(aux.killed)
+    exported = np.asarray(aux.exported)
+    assert killed[0] and exported[0]
+    assert not killed[1] and not exported[1]
+    assert not bool(np.asarray(st2.alive)[0])
