@@ -455,49 +455,86 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         ])
         del arrs["alive"]
 
-        for k, vals in arrs.items():
-            scatter(k, slots, vals)
-
         for s in slots:
             alive[s] = True
 
-        # stress ring-history blends: ONE batched gather/contract instead of
-        # per-birth device ops, with births/parents bucketed to powers of
-        # two (shape-stable -> the backend compile caches; padded rows
-        # duplicate row 0 so the duplicate-slot scatter is idempotent)
-        hist = state.stress_hist
-        max_p = max((len(f.stress_blend) for _, f in births), default=0)
+        # ---- ONE jitted bucketed write for ALL birth fields -------------
+        # (plus the stress ring-history blend): a single executable per
+        # (birth-bucket, parent-bucket) shape pair and a single dispatch,
+        # instead of ~25 eager scatters whose per-(field, bucket) shapes
+        # kept missing the in-process executable cache (each disk-cache
+        # load costs ~20 ms through the remote backend).  Padded rows
+        # duplicate row 0, so the duplicate-slot scatter is idempotent.
         bb = 8
         while bb < len(births):
             bb *= 2
         slots_b = np.asarray(slots)
         slots_b = np.concatenate(
             [slots_b, np.repeat(slots_b[:1], bb - len(slots_b))])
-        if max_p == 0:
-            rows = jnp.zeros((bb,) + hist.shape[1:], hist.dtype)
-        else:
-            pb = 1
-            while pb < max_p:
-                pb *= 2
-            pidx = np.zeros((bb, pb), np.int32)
-            pw = np.zeros((bb, pb))
-            for bi, (_, f) in enumerate(births):
-                for pj, (p, w) in enumerate(f.stress_blend):
-                    pidx[bi, pj] = p
-                    pw[bi, pj] = w
-            pidx[len(births):] = pidx[0]
-            pw[len(births):] = pw[0]
-            rows = jnp.einsum(
-                "bp,bpwc->bwc", jnp.asarray(pw, hist.dtype),
-                hist[jnp.asarray(pidx)])
-        hist = hist.at[slots_b].set(rows)
-        stress_mean = jnp.mean(hist, axis=1)
-        upd["stress_hist"] = hist
-        upd["stress"] = stress_mean
+        sizes = _birth_layout(state)
+        vals = np.zeros((bb, sum(sz for _, sz in sizes)))
+        off = 0
+        for name, sz in sizes:
+            vals[:len(births), off:off + sz] = \
+                np.asarray(arrs[name]).reshape(len(births), sz)
+            off += sz
+        vals[len(births):] = vals[0]
+        max_p = max((len(f.stress_blend) for _, f in births), default=0)
+        pb = 1
+        while pb < max_p:
+            pb *= 2
+        pidx = np.zeros((bb, pb), np.int32)
+        pw = np.zeros((bb, pb))
+        for bi, (_, f) in enumerate(births):
+            for pj, (p, w) in enumerate(f.stress_blend):
+                pidx[bi, pj] = p
+                pw[bi, pj] = w
+        pidx[len(births):] = pidx[0]
+        pw[len(births):] = pw[0]
+        if upd:
+            state = state.replace(**upd)  # updates first, births override
+        dt = state.x.dtype
+        return _write_births_jit(
+            state, jnp.asarray(slots_b), jnp.asarray(vals, dt),
+            jnp.asarray(pidx), jnp.asarray(pw, dt), jnp.asarray(alive))
 
     # inertia update when h changed without reshape (ridge winner):
     # reference scales inertia by h_new/h_old (ridge_values_update.m:18),
     # handled by callers through the updates dict.
 
     upd["alive"] = jnp.asarray(alive)
+    return state.replace(**upd)
+
+
+def _birth_layout(state: FloeState) -> list[tuple[str, int]]:
+    """(field, flattened size) for every state field a birth sets — all of
+    them except the stress ring machinery and the alive mask."""
+    out = []
+    for f in dataclasses.fields(state):
+        if f.name in ("stress_hist", "stress", "alive"):
+            continue
+        cur = getattr(state, f.name)
+        out.append((f.name,
+                    int(np.prod(cur.shape[1:])) if cur.ndim > 1 else 1))
+    return out
+
+
+@jax.jit
+def _write_births_jit(state: FloeState, slots, vals, pidx, pw, alive_new):
+    """Scatter complete birth rows (packed [B, F]) + the stress-history
+    blend into the state in one compiled executable."""
+    upd = {}
+    off = 0
+    for name, sz in _birth_layout(state):
+        cur = getattr(state, name)
+        chunk = vals[:, off:off + sz].reshape(
+            (vals.shape[0],) + cur.shape[1:])
+        upd[name] = cur.at[slots].set(chunk.astype(cur.dtype))
+        off += sz
+    hist = state.stress_hist
+    rows = jnp.einsum("bp,bpwc->bwc", pw.astype(hist.dtype), hist[pidx])
+    hist = hist.at[slots].set(rows)
+    upd["stress_hist"] = hist
+    upd["stress"] = jnp.mean(hist, axis=1)
+    upd["alive"] = alive_new
     return state.replace(**upd)
