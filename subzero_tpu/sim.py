@@ -113,6 +113,15 @@ class Simulation:
                 # the weld pyramid cap only ever grows (Subzero.m:321-323)
                 self.lifecycle.amax = old_lc.amax
         self.lifecycle.grow_fn = self._grow_floes
+        # A mid-run re-init (pool growth, floe-capacity growth) resets both
+        # _domain and the fresh lifecycle's domain_poly to the static cfg
+        # box; forget the wall cache and rebuild the moved domain now so
+        # the next chunk (including the re-run of an overflowed chunk)
+        # doesn't silently run against unmoved walls until the next
+        # wall_cadence change.
+        self._wall_now = None
+        if getattr(self, "wall_fn", None) is not None:
+            self._update_walls()
         # Pin closed-over forcing constants to host numpy: lowering a jitted
         # step embeds each jaxpr constant by reading its value, and reading
         # a device array back through the axon tunnel costs ~30 s PER
@@ -188,8 +197,12 @@ class Simulation:
                     # dissolve onto the coarse grid (calc_dissolved_mass.m).
                     dis2 = dis + dissolved_mass_grid(
                         st, aux.killed & ~aux.exported, cfg, nx, ny)
-                    exp2 = exp + jnp.sum(
-                        jnp.where(aux.exported, st.mass, 0.0))
+                    # per-step export recorded into a slot (not a running
+                    # f32 sum): the host accumulates the slots in float64,
+                    # so the exported-mass ledger doesn't take a ~1e-7
+                    # relative rounding hit per chunk on ~1e12 kg basins
+                    exp2 = exp.at[i].set(jnp.sum(
+                        jnp.where(aux.exported, st.mass, 0.0)))
                     tend2 = tend
                     if adv:
                         from .dissolved import advect_dissolved
@@ -217,7 +230,7 @@ class Simulation:
                     i < n, do, skip, (st, dis, exp, tend, acc))
                 return carry, aux
 
-            exported0 = jnp.zeros((), dissolved.dtype)
+            exported0 = jnp.zeros((self._chunk,), dissolved.dtype)
             (state, dissolved, exported, vd_tend, eul_acc), auxes = \
                 jax.lax.scan(
                     body, (state, dissolved, exported0, vd_tend, eul_acc),
@@ -227,7 +240,7 @@ class Simulation:
             sdt = dissolved.dtype
             summary = jnp.stack([
                 jnp.any(auxes.merge_i).astype(sdt),
-                exported.astype(sdt),
+                jnp.sum(exported).astype(sdt),
                 jnp.sum(auxes.region_overflow.astype(jnp.int32)).astype(sdt),
                 jnp.max(auxes.region_pool_need).astype(sdt),
                 jnp.max(auxes.n_collisions).astype(sdt),
@@ -240,6 +253,10 @@ class Simulation:
                 jnp.any(auxes.overlap_area[last] > 0).astype(sdt),
                 jnp.any(auxes.nbr_overflow).astype(sdt),
             ])
+            # per-step export slots ride the same single-fetch vector; the
+            # host sums them in float64 (s[1] keeps the f32 total for
+            # compatibility / quick boolean checks)
+            summary = jnp.concatenate([summary, exported])
             return state, dissolved, vd_tend, eul_acc, auxes, summary
 
         # chunk = gcd of the ACTIVE host-pass cadences (plus the output and
@@ -275,7 +292,14 @@ class Simulation:
         for c in cads:
             if c and c > 0:
                 g = math.gcd(g, c)
-        return max(1, min(g or 5, 30))
+        g = g or 5
+        if g <= 30:
+            return max(1, g)
+        # cap at 30 while preserving the invariant that every cadence
+        # boundary (all multiples of g) lands on a chunk boundary: use the
+        # largest divisor of g that is <= 30, not min(g, 30) (e.g. g=40
+        # with chunk 30 would fire host passes only every 120 steps)
+        return max(d for d in range(1, 31) if g % d == 0)
 
     def _zero_eul(self):
         dt = self.state.x.dtype
@@ -440,7 +464,9 @@ class Simulation:
             self.step_idx += n
             done += n
             merge_any = bool(s[0])
-            exported = float(s[1])
+            # f64 host sum of the per-step export slots (s[9:]); s[1] is
+            # the f32 chunk total, kept only as a cheap sanity value
+            exported = float(np.sum(s[9:].astype(np.float64)))
             n_rov = int(s[2])
             need = int(s[3])
             ncol = int(s[4])
@@ -470,13 +496,17 @@ class Simulation:
                     self.state, aux_last, self.step_idx, dis_np,
                     merge_pairs=merge_pairs, hints=hints,
                 )
-                if changed and self.mesh is not None:
+                if self.cfg is not self._built_cfg:
+                    # the lifecycle grew the floe capacity: re-jit.  This
+                    # must run BEFORE any reshard — _reshard is a closure
+                    # over the old cfg and would block-size slabs/tiles
+                    # with the stale max_floes on the grown state.
+                    # __post_init__ reshards with the new cfg itself.
+                    self.__post_init__()
+                elif changed and self.mesh is not None:
                     self.state = self._reshard(self.state)
                 dissolved = jnp.asarray(dis_np, dt_)
                 self.dissolved = dis_np
-                if self.cfg is not self._built_cfg:
-                    # the lifecycle grew the floe capacity: re-jit
-                    self.__post_init__()
             # Surface per-region pool overflow: those steps fell back to
             # aggregate contacts (physics degradation — raise
             # ContactConfig.region_pair_frac if this keeps firing).
