@@ -188,7 +188,16 @@ class Lifecycle:
                     want_corner, want_simp, want_pack, weld_due]):
             return state, dissolved, False
 
+        import time as _time
+
+        if not hasattr(self, "pass_times"):
+            import collections
+
+            self.pass_times = collections.defaultdict(float)
+        _pt = self.pass_times
+        _t0 = _time.time()
         view = extract_view(state, cfg)
+        _pt["extract_view"] += _time.time() - _t0
         if self.shadow_ledger:
             m_in = float(np.sum(view.fields["mass"][view.alive],
                                 dtype=np.float64))
@@ -200,26 +209,37 @@ class Lifecycle:
 
         # ---- contact-flagged merges (floe_interactions_all.m:470-501) ----
         if want_merge:
+            _t0 = _time.time()
             self._merges_from_pairs(view, merge_pairs, edit)
+            _pt["merges"] += _time.time() - _t0
 
         if want_ridge:
+            _t0 = _time.time()
             edit.merge(self._guarded(view, edit, lambda v: ridge_raft_pass(
                 v, cfg, self.rng, "ridge", self.domain_poly)))
+            _pt["ridge"] += _time.time() - _t0
         if want_raft:
+            _t0 = _time.time()
             edit.merge(self._guarded(view, edit, lambda v: ridge_raft_pass(
                 v, cfg, self.rng, "raft", self.domain_poly)))
+            _pt["raft"] += _time.time() - _t0
 
         if want_frac:
+            _t0 = _time.time()
             deform = self._deform_info(view, aux)
             edit.merge(self._guarded(
                 view, edit,
                 lambda v: fracture_pass(v, cfg, self.rng, deform)))
+            _pt["fracture"] += _time.time() - _t0
 
         if want_corner and aux is not None:
+            _t0 = _time.time()
             edit.merge(self._guarded(
                 view, edit, lambda v: self._corners(v, aux)))
+            _pt["corners"] += _time.time() - _t0
 
         if weld_due:
+            _t0 = _time.time()
             # running Amax update (Subzero.m:321-323)
             cur_max = float(np.max(np.where(view.alive, view.area, 0.0)))
             if cur_max > self.amax:
@@ -228,21 +248,26 @@ class Lifecycle:
             wnx, wny, wmax = weld_due
             edit.merge(self._guarded(view, edit, lambda v: weld_pass(
                 v, cfg, self.rng, wnx, wny, wmax)))
+            _pt["weld"] += _time.time() - _t0
 
         if want_simp:
+            _t0 = _time.time()
             edit.merge(self._guarded(
                 view, edit,
                 lambda v: simplify_pass(v, cfg, boundary_polys)))
+            _pt["simplify"] += _time.time() - _t0
 
         if want_pack:
             # coverage from the device scatter kernel (row 0 = north):
             # skips the per-(cell, floe) native concentration loop
             from ..diagnostics import coverage_fraction
 
+            _t0 = _time.time()
             conc = coverage_fraction(state, cfg, self.nx, self.ny)
             edit.merge(self._guarded(view, edit, lambda v: pack_pass(
                 v, cfg, self.rng, self.pack_h0, self.pack_target,
                 self.nx, self.ny, conc=conc)))
+            _pt["pack"] += _time.time() - _t0
 
         # ---- capacity growth, then guard ----------------------------------
         alive_now = view.alive
@@ -269,12 +294,16 @@ class Lifecycle:
 
         changed = bool(edit.kills or edit.dissolve_kills or edit.new_floes
                        or edit.updates or edit.reshapes)
+        _t0 = _time.time()
         state = apply_edits(state, edit, cfg,
                             seed=int(self.rng.integers(2**31)))
+        _pt["apply_edits"] += _time.time() - _t0
         if self.shadow_ledger:
             import jax
 
+            _t0 = _time.time()
             alive2, mass2 = jax.device_get((state.alive, state.mass))
+            _pt["shadow_fetch"] += _time.time() - _t0
             m_out = float(np.sum(mass2[alive2], dtype=np.float64))
             dis_out = float(np.sum(dissolved, dtype=np.float64))
             drift = ((m_out + dis_out + self.exported_mass)
@@ -330,12 +359,12 @@ class Lifecycle:
         nbr = np.asarray(aux.nbr_idx)
         fx = np.asarray(aux.pair_fx)
         fy = np.asarray(aux.pair_fy)
-        info = {}
-        for i in range(view.n):
-            k = int(np.argmax(ov[i]))
-            if ov[i, k] > 0:
-                info[i] = (int(nbr[i, k]), float(fx[i, k]), float(fy[i, k]))
-        return info
+        k = np.argmax(ov, axis=1)
+        rows = np.arange(view.n)
+        hit = np.nonzero(ov[rows, k] > 0)[0]
+        return {int(i): (int(nbr[i, k[i]]),
+                         float(fx[i, k[i]]), float(fy[i, k[i]]))
+                for i in hit}
 
     def _corners(self, view, aux) -> StateEdit:
         """Driver-level corner selection (Subzero.m:339-352): ~30% random
@@ -353,14 +382,12 @@ class Lifecycle:
 
         contact_points = {}
         contact_nbrs = {}
-        for i in range(view.n):
-            if not eligible[i]:
-                continue
+        # iterate only the eligible floes that actually have a contact —
+        # the all-N Python loop dominated fracture-storm campaigns
+        for i in np.nonzero(eligible & valid.any(axis=1))[0]:
             ks = np.nonzero(valid[i])[0]
-            if len(ks):
-                contact_points[i] = np.stack(
-                    [px[i, ks], py[i, ks]], axis=1)
-                contact_nbrs[i] = [int(j) for j in nbr[i, ks]]
+            contact_points[i] = np.stack([px[i, ks], py[i, ks]], axis=1)
+            contact_nbrs[i] = [int(j) for j in nbr[i, ks]]
         touching = bnd & eligible
         with view.masked(keep_mask=eligible):
             return corners_pass(view, cfg, self.rng, contact_points,

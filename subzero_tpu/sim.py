@@ -440,6 +440,7 @@ class Simulation:
                 self._eul_n = 0
         else:
             eul_acc = None
+        phases = self.phase_times
         while done < n_steps:
             # land on multiples of the chunk so process cadences stay on
             # chunk boundaries even after a partial run() call
@@ -447,6 +448,7 @@ class Simulation:
                     n_steps - done)
             if self.wall_fn is not None:
                 self._update_walls()
+            tp = time.time()
             for attempt in range(8):
                 (st2, dis2, vd2, eul2, auxes, summary) = self._chunk_fn(
                     self.state, jnp.asarray(self.step_idx), jnp.asarray(n),
@@ -456,6 +458,7 @@ class Simulation:
                 s = np.asarray(summary)
                 if not self._grow_pools(s):
                     break
+            phases["chunk"] += time.time() - tp
                 # a capacity pool overflowed: the step ran with degraded
                 # physics (aggregate-contact fallback / dropped candidate
                 # contacts) — the cfg was grown and re-jitted; RE-RUN the
@@ -483,8 +486,11 @@ class Simulation:
                 self._eul_n = getattr(self, "_eul_n", 0) + n
             # host-side lifecycle at the chunk boundary — only when due
             if merge_any or self.lifecycle.any_due(self.step_idx, hints):
+                tp = time.time()
                 aux_last = _unpack_aux(
                     np.asarray(_pack_aux_last(auxes, jnp.asarray(n))))
+                phases["aux_fetch"] += time.time() - tp
+                tp = time.time()
                 if merge_any:
                     mk = np.asarray(_pack_merges(auxes))
                     merge_pairs = _merge_pairs_from(
@@ -492,10 +498,14 @@ class Simulation:
                 else:
                     merge_pairs = []
                 dis_np = np.asarray(dissolved)
+                phases["merge_fetch"] += time.time() - tp
+                tp = time.time()
                 self.state, dis_np, changed = self.lifecycle.step(
                     self.state, aux_last, self.step_idx, dis_np,
                     merge_pairs=merge_pairs, hints=hints,
                 )
+                phases["lifecycle"] += time.time() - tp
+                tp = time.time()
                 if self.cfg is not self._built_cfg:
                     # the lifecycle grew the floe capacity: re-jit.  This
                     # must run BEFORE any reshard — _reshard is a closure
@@ -505,6 +515,7 @@ class Simulation:
                     self.__post_init__()
                 elif changed and self.mesh is not None:
                     self.state = self._reshard(self.state)
+                phases["rejit_reshard"] += time.time() - tp
                 dissolved = jnp.asarray(dis_np, dt_)
                 self.dissolved = dis_np
             # Surface per-region pool overflow: those steps fell back to
@@ -524,8 +535,10 @@ class Simulation:
                         "region_pair_frac)"
                     )
             if self.output_dir is not None:
+                tp = time.time()
                 self.dissolved = np.asarray(dissolved)
                 eul_acc = self._auto_output(eul_acc)
+                phases["output"] += time.time() - tp
             if on_chunk is not None:
                 self.dissolved = np.asarray(dissolved)
                 on_chunk(self, auxes)
@@ -623,6 +636,31 @@ class Simulation:
         m["collisions"].append(int(n_collisions))
         m["alive"].append(int(np.sum(np.asarray(self.state.alive))))
         m["mass"].append(float(total_mass(self.state)))
+
+    @property
+    def phase_times(self) -> dict:
+        """Accumulated host wall-time per driver phase (seconds): chunk
+        dispatch+summary-fetch, aux/merge tunnel fetches, lifecycle host
+        passes, re-jit/reshard, output IO (SURVEY.md section 5 tracing)."""
+        if not hasattr(self, "_phase_times"):
+            import collections
+
+            self._phase_times = collections.defaultdict(float)
+        return self._phase_times
+
+    def phase_report(self) -> str:
+        """Human-readable phase breakdown, including the lifecycle's
+        per-pass times."""
+        lines = ["phase breakdown (accumulated wall seconds):"]
+        total = sum(self.phase_times.values())
+        for k, v in sorted(self.phase_times.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {k:16s} {v:9.2f} s  {100 * v / max(total, 1e-9):5.1f}%")
+        pt = getattr(self.lifecycle, "pass_times", None)
+        if pt:
+            lines.append("lifecycle passes:")
+            for k, v in sorted(pt.items(), key=lambda kv: -kv[1]):
+                lines.append(f"  {k:16s} {v:9.2f} s")
+        return "\n".join(lines)
 
     def profile(self, path: str, n_steps: int = 10) -> str:
         """Run ``n_steps`` under the JAX/XLA profiler; trace goes to
