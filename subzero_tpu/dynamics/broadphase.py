@@ -52,12 +52,16 @@ class NeighborTable(NamedTuple):
     valid    [N, K] candidate mask
     shift    [N, K, 2] periodic image shift to apply to neighbor j's position
     overflow []     true if any floe had more than K candidates
+    demand   []     max candidates of any row BEFORE the top-K clamp — the
+                    true K requirement, consumed by the driver's two-way
+                    pool auto-sizing (Simulation._grow_pools)
     """
 
     idx: jnp.ndarray
     valid: jnp.ndarray
     shift: jnp.ndarray
     overflow: jnp.ndarray
+    demand: jnp.ndarray
 
 
 def neighbor_candidates(
@@ -70,8 +74,17 @@ def neighbor_candidates(
     lx: float,
     ly: float,
     src: tuple | None = None,
+    n_skip_rows: int = 0,
 ) -> NeighborTable:
     """Bounding-circle broad phase -> top-K neighbor table.
+
+    ``n_skip_rows``: rows [0, n_skip_rows) (immovable boundary/topography
+    floes, state.py slot convention) get NO candidate rows: their contact
+    forces are never integrated, and their rows otherwise dominate the K
+    requirement — a topography floe's bounding circle covers half the
+    domain, so its row alone ratcheted max_neighbors to ~13x the floe-side
+    demand in the Nares campaign.  Floe-vs-boundary pairs still appear in
+    the (moving) floe's own row.
 
     Mirrors the criterion at floe_interactions_all.m:103.  Candidates are
     symmetric: j in nbrs(i) iff i in nbrs(j), so the narrow phase computes
@@ -103,11 +116,20 @@ def neighbor_candidates(
         jnp.arange(n)[:, None] == jnp.arange(m)[None, :]
     ) & (jnp.arange(m)[None, :] < n_self)
     ok = ok & ~self_pair
+    if n_skip_rows:
+        ok = ok & (jnp.arange(n) >= n_skip_rows)[:, None]
 
     # Top-K by a key that puts valid candidates first (closest first).
     key = jnp.where(ok, -r2, -jnp.inf)
     idx, valid = _top_k_argmax(key, k_max)               # [N, K]
-    overflow = jnp.any(jnp.sum(ok, axis=1) > k_max)
+    row_counts = jnp.sum(ok.astype(jnp.int32), axis=1)
+    demand = jnp.max(row_counts)
+    overflow = demand > k_max
+    # invalid slots: point at self (a degenerate identical-polygon pair has
+    # collinear edges only — zero crossings, so it can never inflate the
+    # per-region pool demand), not at whatever argmax left behind
+    idx = jnp.where(valid, idx,
+                    jnp.minimum(jnp.arange(n), m - 1)[:, None])
 
     # Periodic image shift of each selected neighbor, recomputed on the
     # gathered [N, K] pairs (never materialize a [N, N] shift matrix): the
@@ -120,7 +142,8 @@ def neighbor_candidates(
         shy = jnp.zeros(idx.shape, x.dtype)
     shift = jnp.stack([shx, shy], axis=-1)
     idx = jnp.where(valid, idx, jnp.arange(n, dtype=jnp.int32)[:, None])
-    return NeighborTable(idx=idx, valid=valid, shift=shift, overflow=overflow)
+    return NeighborTable(idx=idx, valid=valid, shift=shift,
+                         overflow=overflow, demand=demand)
 
 
 def neighbor_candidates_cells(
@@ -134,6 +157,7 @@ def neighbor_candidates_cells(
     ly: float,
     cell_size: float,
     cell_cap: int,
+    n_skip_rows: int = 0,
 ) -> NeighborTable:
     """Cell-list broad phase: O(N * 9 * cell_cap) instead of O(N^2).
 
@@ -200,14 +224,18 @@ def neighbor_candidates_cells(
     rsum = rmax[:, None] + rmax[cand]
     ok = (cand_ok & (r2 < rsum * rsum) & alive[:, None] & alive[cand]
           & (cand != jnp.arange(n)[:, None]))
+    if n_skip_rows:
+        ok = ok & (jnp.arange(n) >= n_skip_rows)[:, None]
 
     key = jnp.where(ok, -r2, -jnp.inf)
     kidx, valid = _top_k_argmax(key, k_max)                 # [N, K]
-    overflow = overflow_cells | jnp.any(jnp.sum(ok, axis=1) > k_max)
+    demand = jnp.max(jnp.sum(ok.astype(jnp.int32), axis=1))
+    overflow = overflow_cells | (demand > k_max)
     idx = jnp.take_along_axis(cand, kidx, axis=1)
     shift = jnp.stack([
         -jnp.take_along_axis(sx, kidx, axis=1),
         -jnp.take_along_axis(sy, kidx, axis=1),
     ], axis=-1)
     idx = jnp.where(valid, idx, jnp.arange(n)[:, None])
-    return NeighborTable(idx=idx, valid=valid, shift=shift, overflow=overflow)
+    return NeighborTable(idx=idx, valid=valid, shift=shift,
+                         overflow=overflow, demand=demand)

@@ -365,6 +365,10 @@ def _blend_regions_compact(
                                  #  ff_m, amin_m, ov_gate_m|None, wall|None)
     shear_g, mu, dt, cfg, dtype,
     axis_names: tuple = (),
+    pair_ok=None,                # [P] broad-phase validity: invalid slots
+                                 # must not claim pool slots (a garbage
+                                 # index can alias a huge topography
+                                 # polygon and fake a multi-crossing pair)
 ):
     """Blend per-region contact results into the aggregate ones, running the
     region decomposition only on a fixed pool of multi-crossing pairs.
@@ -399,6 +403,8 @@ def _blend_regions_compact(
     # pool slots (cumsum + scatter -- a top_k here would sort all P pairs).
     i32 = jnp.int32
     needs = n_cross >= 4                             # [P]
+    if pair_ok is not None:
+        needs = needs & pair_ok
     pos = jnp.cumsum(needs.astype(i32)) - 1          # [P] pool slot
     # Unfilled pool slots point out of bounds (p_count): their gathers clamp
     # to a harmless row and their scatters drop — a 0 default would collide
@@ -607,6 +613,7 @@ def contact_forces(
                 st.n_cross, gather_pair,
                 shear_g, phys.mu_friction, dt, cfg, dtype,
                 axis_names=axis_names,
+                pair_ok=nbr.valid.reshape(p),
             )
 
     fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = (
@@ -745,6 +752,7 @@ def boundary_contact(
                 st.n_cross, gather_floe,
                 shear_g, phys.mu_friction, dt, cfg, dtype,
                 axis_names=axis_names,
+                pair_ok=alive,
             )
 
     absorb = ar / area > cfg.contact.boundary_overlap_frac

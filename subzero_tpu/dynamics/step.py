@@ -48,6 +48,9 @@ class StepAux(NamedTuple):
                                   # below-ymin export) — ledger as exported,
                                   # not dissolved
     nbr_overflow: jnp.ndarray     # broad-phase candidate overflow
+    nbr_demand: jnp.ndarray       # [] max broad-phase candidates of any
+                                  # row (true K requirement; two-way pool
+                                  # auto-sizing)
     overlap_area: jnp.ndarray     # [N] total overlap area per floe
     collision_force: jnp.ndarray  # [N, 2]
     collision_torque: jnp.ndarray  # [N]
@@ -109,12 +112,14 @@ def physics_step(
             cfg.capacity.max_neighbors, periodic,
             cfg.domain.lx, cfg.domain.ly,
             cfg.numerics.cell_size, cfg.capacity.max_per_cell,
+            n_skip_rows=cfg.n_boundary,
         )
     else:
         nbr = neighbor_candidates(
             state.x, state.y, state.rmax, state.alive,
             cfg.capacity.max_neighbors, periodic,
             cfg.domain.lx, cfg.domain.ly,
+            n_skip_rows=cfg.n_boundary,
         )
 
     # ---- narrow phase: floe-floe ------------------------------------------
@@ -221,10 +226,21 @@ def physics_step(
 
     # ---- diagnostics ------------------------------------------------------
     # calc_collisionNum.m: floe-floe contact pairs /2 + boundary contacts.
-    n_collisions = (
-        jnp.sum(f_valid.astype(jnp.int32)) // 2
-        + jnp.sum(b_valid.astype(jnp.int32))
-    ).astype(jnp.int32)
+    # Boundary/topography floes have no candidate rows (n_skip_rows), so a
+    # floe-vs-topography contact appears once (in the moving floe's row)
+    # and counts at full weight like a wall contact.
+    if cfg.n_boundary > 0:
+        vs_topo = nbr.idx < cfg.n_boundary
+        n_collisions = (
+            jnp.sum((f_valid & ~vs_topo).astype(jnp.int32)) // 2
+            + jnp.sum((f_valid & vs_topo).astype(jnp.int32))
+            + jnp.sum(b_valid.astype(jnp.int32))
+        ).astype(jnp.int32)
+    else:
+        n_collisions = (
+            jnp.sum(f_valid.astype(jnp.int32)) // 2
+            + jnp.sum(b_valid.astype(jnp.int32))
+        ).astype(jnp.int32)
 
     aux = StepAux(
         n_collisions=n_collisions,
@@ -234,6 +250,7 @@ def physics_step(
         killed=alive_before & ~state.alive,
         exported=exported,
         nbr_overflow=nbr.overflow,
+        nbr_demand=nbr.demand.astype(jnp.int32),
         overlap_area=overlap_total,
         collision_force=jnp.stack([cf_x, cf_y], axis=-1),
         collision_torque=cf_t,

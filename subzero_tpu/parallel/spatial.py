@@ -281,6 +281,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             killed=alive_before & ~state.alive,
             exported=exported,
             nbr_overflow=nbr.overflow | r_of | l_of | mig_of,
+            nbr_demand=jax.lax.pmax(nbr.demand.astype(jnp.int32), AXIS),
             overlap_area=state.overlap_area,
             collision_force=jnp.stack([cf_x, cf_y], -1),
             collision_torque=cf_t,
@@ -301,7 +302,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
     aux_specs = StepAux(
         n_collisions=P(), merge_i=state_spec, merge_j=state_spec,
         absorb_boundary=state_spec, killed=state_spec, exported=state_spec,
-        nbr_overflow=P(),
+        nbr_overflow=P(), nbr_demand=P(),
         overlap_area=state_spec, collision_force=state_spec,
         collision_torque=state_spec, nbr_idx=state_spec,
         pair_valid=state_spec, pair_px=state_spec, pair_py=state_spec,

@@ -280,6 +280,8 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
             exported=exported,
             nbr_overflow=(nbr.overflow | r_of | l_of | u_of | d_of
                           | mig_of_x | mig_of_y),
+            nbr_demand=jax.lax.pmax(nbr.demand.astype(jnp.int32),
+                                    (AX, AY)),
             overlap_area=state.overlap_area,
             collision_force=jnp.stack([cf_x, cf_y], -1),
             collision_torque=cf_t,
@@ -303,7 +305,7 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
     aux_specs = StepAux(
         n_collisions=P(), merge_i=spec, merge_j=spec,
         absorb_boundary=spec, killed=spec, exported=spec,
-        nbr_overflow=P(),
+        nbr_overflow=P(), nbr_demand=P(),
         overlap_area=spec, collision_force=spec,
         collision_torque=spec, nbr_idx=spec,
         pair_valid=spec, pair_px=spec, pair_py=spec,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import time
 from pathlib import Path
 from typing import Callable
@@ -252,6 +253,7 @@ class Simulation:
                  | jnp.any(auxes.boundary_contact[last])).astype(sdt),
                 jnp.any(auxes.overlap_area[last] > 0).astype(sdt),
                 jnp.any(auxes.nbr_overflow).astype(sdt),
+                jnp.max(auxes.nbr_demand).astype(sdt),
             ])
             # per-step export slots ride the same single-fetch vector; the
             # host sums them in float64 (s[1] keeps the f32 total for
@@ -317,7 +319,12 @@ class Simulation:
         region_pair_frac to the measured demand; on broad-phase candidate
         overflow, grow max_neighbors.  Returns True when the cfg changed
         (the caller re-runs the chunk with the re-jitted step so no step
-        ever executes with degraded physics)."""
+        ever executes with degraded physics).
+
+        Targets are quantized — max_neighbors to a geometric ladder
+        (8, 13, 20, 31, ...) and pool slots to powers of two — so repeated
+        resizes across a campaign (and across resumed processes via the
+        persistent compile cache) hit already-compiled shapes."""
         if not self.cfg.contact.region_pool_auto:
             return False
         import dataclasses as dc
@@ -325,26 +332,30 @@ class Simulation:
         n_rov = int(s[2])
         need = int(s[3])
         nbr_ovf = bool(s[8])
+        nbr_demand = int(s[9])
         grew = False
         cfg = self.cfg
         if n_rov and cfg.contact.region_pair_frac < 1.0:
             p_count = self.state.n * cfg.capacity.max_neighbors
             frac = cfg.contact.region_pair_frac
-            new_frac = min(1.0, max(2 * frac,
-                                    1.25 * need / max(p_count, 1)))
-            print(f"[sim] step {self.step_idx}: per-region pool demand "
-                  f"{need} exceeded the pool — growing region_pair_frac "
-                  f"{frac:.4g} -> {new_frac:.4g} and re-running the chunk")
-            cfg = cfg.replace(contact=dc.replace(
-                cfg.contact, region_pair_frac=new_frac))
-            grew = True
+            new_frac = min(1.0, _pool_slots(int(need * 1.25) + 1)
+                           / max(p_count, 1))
+            if new_frac > frac:
+                print(f"[sim] step {self.step_idx}: per-region pool demand "
+                      f"{need} exceeded the pool — growing region_pair_frac "
+                      f"{frac:.4g} -> {new_frac:.4g} and re-running the "
+                      "chunk")
+                cfg = cfg.replace(contact=dc.replace(
+                    cfg.contact, region_pair_frac=new_frac))
+                grew = True
         if nbr_ovf:
             k = cfg.capacity.max_neighbors
-            new_k = min(int(k * 1.5) + 1, self.state.n)
+            new_k = min(_ladder_k(max(int(nbr_demand * 1.1) + 1, k + 1)),
+                        self.state.n)
             if new_k > k:
                 print(f"[sim] step {self.step_idx}: broad-phase candidate "
-                      f"overflow — growing max_neighbors {k} -> {new_k} "
-                      "and re-running the chunk")
+                      f"demand {nbr_demand} — growing max_neighbors "
+                      f"{k} -> {new_k} and re-running the chunk")
                 cfg = cfg.replace(capacity=dc.replace(
                     cfg.capacity, max_neighbors=new_k))
                 grew = True
@@ -352,6 +363,59 @@ class Simulation:
             self.cfg = cfg
             self.__post_init__()   # re-jit; lifecycle RNG/ledger preserved
         return grew
+
+    # window (in chunks) over which pool demand maxima are taken before a
+    # shrink; long enough that a periodic lifecycle spike stays in view
+    _SHRINK_WINDOW = 64
+
+    def _maybe_shrink_pools(self, s: np.ndarray) -> None:
+        """Two-way auto-sizing: when the windowed demand maxima sit far
+        below the current pools, shrink them (growth ratcheted pools stay
+        at their historical peak otherwise — the resumed Nares campaign
+        carried max_neighbors 152 / frac 0.67 for a measured demand of ~30
+        / ~2k, paying >5x the narrow-phase work every step).  Runs AFTER a
+        chunk is committed: a shrink never invalidates computed physics —
+        if it undershoots, the next chunk's overflow grows it back (and
+        re-runs that chunk), so physics is never degraded either way."""
+        if not self.cfg.contact.region_pool_auto:
+            return
+        import dataclasses as dc
+
+        win = getattr(self, "_demand_win", None)
+        if win is None:
+            win = self._demand_win = []
+        win.append((int(s[3]), int(s[9])))
+        if len(win) < self._SHRINK_WINDOW:
+            return
+        need_max = max(w[0] for w in win)
+        nbr_max = max(w[1] for w in win)
+        del win[:]
+        cfg = self.cfg
+        changed = False
+        k = cfg.capacity.max_neighbors
+        k_new = max(_ladder_k(int(nbr_max * 1.25) + 1), 8)
+        if k_new < k:
+            cfg = cfg.replace(capacity=dc.replace(
+                cfg.capacity, max_neighbors=k_new))
+            changed = True
+        # region pool: quantized to pow-2 slot counts
+        p_count = self.state.n * cfg.capacity.max_neighbors
+        slots_cur = max(128, math.ceil(
+            p_count * cfg.contact.region_pair_frac))
+        slots_new = _pool_slots(int(need_max * 1.25) + 1)
+        if slots_new < slots_cur:
+            cfg = cfg.replace(contact=dc.replace(
+                cfg.contact,
+                region_pair_frac=min(1.0, slots_new / max(p_count, 1))))
+            changed = True
+        if changed:
+            print(f"[sim] step {self.step_idx}: pool shrink — "
+                  f"max_neighbors {k} -> {cfg.capacity.max_neighbors}, "
+                  f"region pool -> {max(128, math.ceil(self.state.n * cfg.capacity.max_neighbors * cfg.contact.region_pair_frac))} "
+                  f"slots (windowed demand: nbr {nbr_max}, region "
+                  f"{need_max})")
+            self.cfg = cfg
+            self.__post_init__()
 
     def _grow_floes(self, state: FloeState, need: int) -> FloeState:
         """Grow the floe capacity to at least ``need`` slots (padding every
@@ -467,9 +531,9 @@ class Simulation:
             self.step_idx += n
             done += n
             merge_any = bool(s[0])
-            # f64 host sum of the per-step export slots (s[9:]); s[1] is
+            # f64 host sum of the per-step export slots (s[10:]); s[1] is
             # the f32 chunk total, kept only as a cheap sanity value
-            exported = float(np.sum(s[9:].astype(np.float64)))
+            exported = float(np.sum(s[10:].astype(np.float64)))
             n_rov = int(s[2])
             need = int(s[3])
             ncol = int(s[4])
@@ -539,6 +603,7 @@ class Simulation:
                 self.dissolved = np.asarray(dissolved)
                 eul_acc = self._auto_output(eul_acc)
                 phases["output"] += time.time() - tp
+            self._maybe_shrink_pools(s)
             if on_chunk is not None:
                 self.dissolved = np.asarray(dissolved)
                 on_chunk(self, auxes)
@@ -745,28 +810,36 @@ class Simulation:
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
         data = np.load(path / "state.npz")
-        # Adopt capacities the saved run had auto-grown (floe slots,
-        # neighbor table, per-region pool): a resumed campaign leg must not
-        # start below the demand the previous leg already measured.
+        # Floe capacity must cover the saved state arrays.  The OTHER pools
+        # (neighbor table, per-region pool) resume from the caller's lean
+        # defaults when auto-sizing is on: overflow re-runs the chunk at
+        # the right size (no degraded step), and re-adopting a ratcheted
+        # historical peak made the resumed Nares leg pay >5x narrow-phase
+        # work per step for demand long gone.  Without auto-sizing the
+        # saved sizes are adopted as before.
         saved_cfg = meta.get("cfg") or {}
         import dataclasses as dc
 
         scap = saved_cfg.get("capacity") or {}
         scon = saved_cfg.get("contact") or {}
-        cfg = cfg.replace(
-            capacity=dc.replace(
-                cfg.capacity,
-                max_floes=max(cfg.capacity.max_floes,
-                              scap.get("max_floes", 0)),
-                max_neighbors=max(cfg.capacity.max_neighbors,
-                                  scap.get("max_neighbors", 0)),
-            ),
-            contact=dc.replace(
-                cfg.contact,
-                region_pair_frac=max(cfg.contact.region_pair_frac,
-                                     scon.get("region_pair_frac", 0.0)),
-            ),
-        )
+        cfg = cfg.replace(capacity=dc.replace(
+            cfg.capacity,
+            max_floes=max(cfg.capacity.max_floes,
+                          scap.get("max_floes", 0)),
+        ))
+        if not cfg.contact.region_pool_auto:
+            cfg = cfg.replace(
+                capacity=dc.replace(
+                    cfg.capacity,
+                    max_neighbors=max(cfg.capacity.max_neighbors,
+                                      scap.get("max_neighbors", 0)),
+                ),
+                contact=dc.replace(
+                    cfg.contact,
+                    region_pair_frac=max(cfg.contact.region_pair_frac,
+                                         scon.get("region_pair_frac", 0.0)),
+                ),
+            )
         from .state import empty_state
 
         proto = empty_state(cfg)
@@ -902,6 +975,24 @@ def _pad_domain(rect: np.ndarray, v_cap: int = 8):
     return pad_polygon(rect, v_cap)
 
 
+def _ladder_k(need: int) -> int:
+    """Smallest rung of the geometric ladder 8, 13, 20, 31, 47, 71, ... at
+    or above ``need`` — all pool resizes land on this shared ladder so the
+    persistent compile cache is hit across grows, shrinks, and resumes."""
+    v = 8
+    while v < need:
+        v = int(v * 1.5) + 1
+    return v
+
+
+def _pool_slots(need: int) -> int:
+    """Power-of-two pool size >= need (min 128), same rationale."""
+    v = 128
+    while v < need:
+        v *= 2
+    return v
+
+
 def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
     n = state.n
     k = cfg.capacity.max_neighbors
@@ -915,6 +1006,7 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         killed=jnp.zeros((n,), bool),
         exported=jnp.zeros((n,), bool),
         nbr_overflow=jnp.zeros((), bool),
+        nbr_demand=jnp.zeros((), jnp.int32),
         overlap_area=jnp.zeros((n,), dt),
         collision_force=jnp.zeros((n, 2), dt),
         collision_torque=jnp.zeros((n,), dt),

@@ -184,20 +184,51 @@ def test_auto_pool_growth():
 
     sim = _quiet_sim()
     frac0 = sim.cfg.contact.region_pair_frac
-    s = np.zeros(9)
+    s = np.zeros(10)
     s[2], s[3] = 3, 500            # overflow steps, pool demand
     assert sim._grow_pools(s)
     assert sim.cfg.contact.region_pair_frac > frac0
     p = sim.state.n * sim.cfg.capacity.max_neighbors
     pool = max(128, math.ceil(p * sim.cfg.contact.region_pair_frac))
     assert pool >= 500             # sized to demand, not just doubled
-    s = np.zeros(9)
+    s = np.zeros(10)
     s[8] = 1                       # broad-phase candidate overflow
+    s[9] = sim.cfg.capacity.max_neighbors + 5   # measured demand
     k0 = sim.cfg.capacity.max_neighbors
     assert sim._grow_pools(s)
     assert sim.cfg.capacity.max_neighbors > k0
-    assert not sim._grow_pools(np.zeros(9))
+    assert not sim._grow_pools(np.zeros(10))
     # the grown sim still runs
+    sim.run(10)
+    assert int(np.asarray(sim.state.alive).sum()) > 0
+
+
+def test_pool_two_way_autosizing():
+    """Pools shrink back when windowed demand sits far below the ratcheted
+    capacity (round-5: the resumed Nares campaign carried max_neighbors 152
+    / region frac 0.67 for measured demands of ~30 / ~2k, paying >5x the
+    narrow-phase work per step), and re-grow on overflow."""
+    import dataclasses as dc
+
+    sim = _quiet_sim()
+    sim.cfg = sim.cfg.replace(capacity=dc.replace(
+        sim.cfg.capacity, max_neighbors=64))
+    sim.__post_init__()
+    k0 = sim.cfg.capacity.max_neighbors
+    slots0 = sim.state.n * k0 * sim.cfg.contact.region_pair_frac
+    s = np.zeros(10)
+    s[3], s[9] = 40, 6              # region demand 40, nbr demand 6
+    for _ in range(sim._SHRINK_WINDOW):
+        sim._maybe_shrink_pools(s)
+    assert sim.cfg.capacity.max_neighbors < k0
+    assert sim.cfg.capacity.max_neighbors >= 8
+    # region pool floor is 128 slots; demand 40 must keep >= 128
+    import math
+
+    slots = max(128, math.ceil(sim.state.n * sim.cfg.capacity.max_neighbors
+                               * sim.cfg.contact.region_pair_frac))
+    assert 128 <= slots <= max(128, slots0)
+    # the shrunk sim still runs
     sim.run(10)
     assert int(np.asarray(sim.state.alive).sum()) > 0
 
