@@ -252,6 +252,14 @@ class NumericsConfig:
     # Pallas TPU kernel, float32/TPU only), or "xla" (segment-midpoint
     # formulation, the original reference implementation of the clip).
     contact_impl: str = "integral"
+    # Spatial decomposition (1-D slab mesh): overlap the ghost-floe halo
+    # exchange with interior contact compute (SURVEY.md section 7 M5).
+    # The narrow phase splits into an interior pass (all local floes vs
+    # local sources — no data dependency on the ppermute, so the TPU
+    # latency-hiding scheduler can run the collective underneath it) and a
+    # packed band pass (floes within a halo width of a slab edge vs the
+    # arrived ghosts), merged back into the standard [N, K] pair tables.
+    overlap_halo: bool = True
 
 
 @dataclass(frozen=True)

@@ -158,31 +158,116 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         r_src = jnp.concatenate([state.rmax, ghosts["rmax"]])
         a_src = jnp.concatenate([state.alive, ghosts["alive"]])
 
-        nbr = neighbor_candidates(
-            state.x, state.y, state.rmax, state.alive,
-            cfg.capacity.max_neighbors,
-            # periodicity in y only: x-periodicity is realized by the ring
-            periodic, 1e30 if periodic else lx, ly,
-            src=(x_src, y_src, r_src, a_src, n_loc),
-        )
+        k_cap = cfg.capacity.max_neighbors
+        dom_gate = None if periodic else domain_rep
+        if cfg.numerics.overlap_halo:
+            # ---- SURVEY M5: halo exchange overlapped with interior
+            # contact compute.  The interior pass (all local floes vs
+            # LOCAL sources only) has no data dependency on the ppermute
+            # above, so the TPU latency-hiding scheduler can run the
+            # collective underneath it; only the small packed band pass
+            # (floes within a halo width of a slab edge, vs the arrived
+            # ghosts) waits for the exchange.  Results merge back into the
+            # standard [N, K] pair tables (band entries appended after
+            # each row's interior entries), so every downstream consumer —
+            # force reduction, merge flags, the lifecycle aux tables — is
+            # unchanged.
+            nbr_i = neighbor_candidates(
+                state.x, state.y, state.rmax, state.alive, k_cap,
+                # periodicity in y only: x wrap is realized by the ring
+                periodic, 1e30 if periodic else lx, ly,
+            )
+            pc_i = contact_forces(
+                verts_loc, state.x, state.y, state.u, state.v, state.ksi,
+                state.h, state.area, nbr_i, modulus, cfg,
+                nv=state.nv, domain_verts=dom_gate, axis_names=(AXIS,),
+            )
 
-        src = (
-            jnp.concatenate([verts_loc, verts_gho]),
-            x_src, y_src,
-            jnp.concatenate([state.u, ghosts["u"]]),
-            jnp.concatenate([state.v, ghosts["v"]]),
-            jnp.concatenate([state.ksi, ghosts["ksi"]]),
-            jnp.concatenate([state.h, ghosts["h"]]),
-            jnp.concatenate([state.area, ghosts["area"]]),
-        )
-        pc = contact_forces(
-            verts_loc, state.x, state.y, state.u, state.v, state.ksi,
-            state.h, state.area, nbr, modulus, cfg, src=src,
-            nv=state.nv,
-            nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
-            domain_verts=None if periodic else domain_rep,
-            axis_names=(AXIS,),
-        )
+            # band floes = exactly the send masks: a local floe can reach
+            # a ghost only if it sits within one halo width of a slab edge
+            band_mask = right_mask | left_mask
+            n_band = max(min(2 * n_ghost, n_loc), 1)
+            b_idx, b_val, band_of = _pack(band_mask, n_band)
+            kg = min(k_cap, 2 * n_ghost)
+            nbr_b = neighbor_candidates(
+                state.x[b_idx], state.y[b_idx], state.rmax[b_idx],
+                state.alive[b_idx] & b_val, kg,
+                periodic, 1e30 if periodic else lx, ly,
+                src=(ghosts["x"], ghosts["y"], ghosts["rmax"],
+                     ghosts["alive"], 0),
+            )
+            pc_b = contact_forces(
+                verts_loc[b_idx], state.x[b_idx], state.y[b_idx],
+                state.u[b_idx], state.v[b_idx], state.ksi[b_idx],
+                state.h[b_idx], state.area[b_idx], nbr_b, modulus, cfg,
+                src=(verts_gho, ghosts["x"], ghosts["y"], ghosts["u"],
+                     ghosts["v"], ghosts["ksi"], ghosts["h"],
+                     ghosts["area"]),
+                nv=state.nv[b_idx], nv_s=ghosts["nv"],
+                domain_verts=dom_gate, axis_names=(AXIS,),
+            )
+
+            # merge band entries into the interior tables: both row kinds
+            # are valid-prefix (the top-K argmax selects valid candidates
+            # first), so band entries append at each row's interior count
+            v_int = jnp.sum(nbr_i.valid.astype(jnp.int32), axis=1)  # [N]
+            pos = v_int[b_idx][:, None] + jnp.arange(kg)[None, :]   # [B,kg]
+            okw = nbr_b.valid & b_val[:, None]
+            pos_w = jnp.where(okw, pos, k_cap)  # out of bounds -> dropped
+            rows = jnp.broadcast_to(b_idx[:, None], pos.shape)
+
+            def put(dst, srcv):
+                return dst.at[rows, pos_w].set(srcv, mode="drop")
+
+            pc = pc_i._replace(
+                fx=put(pc_i.fx, pc_b.fx), fy=put(pc_i.fy, pc_b.fy),
+                px=put(pc_i.px, pc_b.px), py=put(pc_i.py, pc_b.py),
+                tq=put(pc_i.tq, pc_b.tq),
+                sxx=put(pc_i.sxx, pc_b.sxx), syy=put(pc_i.syy, pc_b.syy),
+                sxy=put(pc_i.sxy, pc_b.sxy),
+                overlap=put(pc_i.overlap, pc_b.overlap),
+                merge_i=put(pc_i.merge_i, pc_b.merge_i),
+                merge_j=put(pc_i.merge_j, pc_b.merge_j),
+                region_overflow=pc_i.region_overflow | pc_b.region_overflow,
+                region_need=pc_i.region_need + pc_b.region_need,
+            )
+            # merged neighbor table for the aux (ghost indices offset past
+            # the local slots, matching the concatenated-source convention)
+            vg = jnp.zeros((n_loc,), jnp.int32).at[b_idx].add(
+                jnp.sum(okw.astype(jnp.int32), axis=1) * b_val)
+            demand = jnp.maximum(jnp.max(v_int + vg), nbr_i.demand)
+            nbr = nbr_i._replace(
+                idx=put(nbr_i.idx, nbr_b.idx + n_loc),
+                valid=put(nbr_i.valid, okw),
+                overflow=(nbr_i.overflow | band_of
+                          | (jnp.max(v_int + vg) > k_cap)
+                          | jnp.any(okw & (pos >= k_cap))),
+                demand=demand,
+            )
+        else:
+            nbr = neighbor_candidates(
+                state.x, state.y, state.rmax, state.alive, k_cap,
+                # periodicity in y only: x wrap is realized by the ring
+                periodic, 1e30 if periodic else lx, ly,
+                src=(x_src, y_src, r_src, a_src, n_loc),
+            )
+            src = (
+                jnp.concatenate([verts_loc, verts_gho]),
+                x_src, y_src,
+                jnp.concatenate([state.u, ghosts["u"]]),
+                jnp.concatenate([state.v, ghosts["v"]]),
+                jnp.concatenate([state.ksi, ghosts["ksi"]]),
+                jnp.concatenate([state.h, ghosts["h"]]),
+                jnp.concatenate([state.area, ghosts["area"]]),
+            )
+            pc = contact_forces(
+                verts_loc, state.x, state.y, state.u, state.v, state.ksi,
+                state.h, state.area, nbr, modulus, cfg, src=src,
+                nv=state.nv,
+                nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
+                domain_verts=dom_gate,
+                axis_names=(AXIS,),
+            )
 
         if not periodic:
             bc = boundary_contact(
