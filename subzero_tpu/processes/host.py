@@ -105,23 +105,36 @@ def _pack_kin(state: FloeState):
                       state.du_p, state.dv_p, state.dksi_p], axis=1)
 
 
-def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
-    packed = np.asarray(_pack_view(state))       # ONE device round trip
+def view_width(max_verts: int) -> int:
+    """Column count of the packed view [N, W]: alive + nv + scalars +
+    stress(3) + strain(3) + 2*V world vertices."""
+    return 2 + len(SCALARS) + 6 + 2 * max_verts
+
+
+def unpack_view(packed: np.ndarray, n: int) -> HostView:
+    """Rebuild a HostView from the packed [N, W] host array (the fetch may
+    have ridden a larger combined boundary fetch — sim.run packs view +
+    aux + merge tables into ONE tunnel round trip)."""
     ns = len(SCALARS)
     alive = packed[:, 0] != 0.0
     nv = packed[:, 1].astype(np.int32)
     fields = {k: packed[:, 2 + i] for i, k in enumerate(SCALARS)}
     stress = packed[:, 2 + ns: 5 + ns]
     strain = packed[:, 5 + ns: 8 + ns]
-    verts = packed[:, 8 + ns:].reshape(state.n, -1, 2)
+    verts = packed[:, 8 + ns:].reshape(n, -1, 2)
     polys: list[np.ndarray | None] = [
         verts[i, : nv[i]].astype(np.float64) if alive[i] and nv[i] >= 3 else None
-        for i in range(state.n)
+        for i in range(n)
     ]
     return HostView(
-        n=state.n, alive=alive, nv=nv, polys=polys,
+        n=n, alive=alive, nv=nv, polys=polys,
         stress=stress, strain=strain, fields=fields,
     )
+
+
+def extract_view(state: FloeState, cfg: SimConfig) -> HostView:
+    return unpack_view(np.asarray(_pack_view(state)),  # ONE round trip
+                       state.n)
 
 
 def candidate_pairs(
@@ -342,30 +355,57 @@ def _free_slots(alive: np.ndarray, kills: set[int], n_needed: int,
     return free[:n_needed]
 
 
+_UPDATE_FIELDS = ("h", "mass", "inertia")
+
+
+@jax.jit
+def _write_updates_jit(state: FloeState, slots, vals, mask, alive):
+    """ONE dispatch for all scalar-field updates + the alive mask: masked
+    bucketed scatter (padded rows repeat row 0 — slot, values, and mask —
+    so duplicate scatter indices write identical values)."""
+    upd = {}
+    for i, name in enumerate(_UPDATE_FIELDS):
+        cur = getattr(state, name)
+        new = jnp.where(mask[:, i], vals[:, i].astype(cur.dtype),
+                        cur[slots])
+        upd[name] = cur.at[slots].set(new)
+    return state.replace(alive=alive, **upd)
+
+
 def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
-                seed: int = 0) -> FloeState:
+                seed: int = 0, view: "HostView | None" = None) -> FloeState:
     """Apply kills / reshapes / updates / births to the device state.
 
     Edits touch only affected slots via device scatter (``.at[slots].set``)
     — no whole-array host copies / re-uploads (round-2 VERDICT weak #6:
-    lifecycle passes must stay cheap at 10k+ floes)."""
+    lifecycle passes must stay cheap at 10k+ floes).
+
+    ``view``: the HostView the passes ran on.  When provided, the alive
+    mask and reshape kinematics come from it instead of two extra
+    device->host round trips (~30 ms each through the axon tunnel, paid at
+    every lifecycle boundary otherwise)."""
     if edit.empty:
         return state
 
-    alive = np.asarray(state.alive).copy()
+    if view is None:
+        alive = np.asarray(state.alive).copy()
+    else:
+        # a mid-pass capacity growth (grow_fn) appends dead slots the view
+        # predates: pad with False instead of re-fetching
+        alive = np.concatenate(
+            [view.alive,
+             np.zeros(state.alive.shape[0] - view.n, bool)])
 
     # -- kills -------------------------------------------------------------
     for i in edit.kills | edit.dissolve_kills:
         alive[i] = False
 
-    # -- scalar updates: group by field -> one device scatter each ---------
-    # Scatter shapes are BUCKETED (padded to the next power of two by
-    # repeating entry 0 — a duplicate index written with the same value is
-    # idempotent): every distinct eager-op shape compiles a fresh backend
-    # executable, and through the axon tunnel each remote compile costs
-    # ~0.5 s.  Unbucketed, a winter run spent 99% of its wall time
-    # compiling scatters for every new birth count (measured: 205 compiles
-    # in 50 steps).
+    # -- scalar updates ----------------------------------------------------
+    # The passes only ever update the ridge/raft winner scalars
+    # (_UPDATE_FIELDS); those go through ONE jitted bucketed masked write
+    # (a winter boundary was paying one eager tunnel dispatch PER FIELD —
+    # apply_edits was 10 s of a 36 s 500-step run).  Any other field falls
+    # back to a per-field eager scatter (bucketed; see _padded).
     upd: dict[str, jnp.ndarray] = {}
 
     def _padded(slots, vals):
@@ -385,14 +425,38 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         slots, vals = _padded(slots, vals)
         upd[name] = base.at[slots].set(jnp.asarray(vals, base.dtype))
 
-    by_field: dict[str, tuple[list, list]] = {}
-    for slot, kv in edit.updates.items():
-        for k, v in kv.items():
-            sl, vl = by_field.setdefault(k, ([], []))
-            sl.append(slot)
-            vl.append(v)
-    for k, (sl, vl) in by_field.items():
-        scatter(k, sl, vl)
+    upd_rows = None
+    if edit.updates and all(
+            k in _UPDATE_FIELDS for kv in edit.updates.values()
+            for k in kv):
+        slots_u = sorted(edit.updates)
+        u = 8
+        while u < len(slots_u):
+            u *= 2
+        vals_u = np.zeros((u, len(_UPDATE_FIELDS)))
+        mask_u = np.zeros((u, len(_UPDATE_FIELDS)), bool)
+        for r, slot in enumerate(slots_u):
+            for c, name in enumerate(_UPDATE_FIELDS):
+                if name in edit.updates[slot]:
+                    vals_u[r, c] = edit.updates[slot][name]
+                    mask_u[r, c] = True
+        # padded rows repeat ROW 0 (slot, values, mask alike): duplicate
+        # scatter indices are then idempotent — a padded row with a zero
+        # mask would race row 0's write and could clobber the update
+        vals_u[len(slots_u):] = vals_u[0]
+        mask_u[len(slots_u):] = mask_u[0]
+        slots_u = np.asarray(
+            slots_u + [slots_u[0]] * (u - len(slots_u)), np.int32)
+        upd_rows = (slots_u, vals_u, mask_u)
+    else:
+        by_field: dict[str, tuple[list, list]] = {}
+        for slot, kv in edit.updates.items():
+            for k, v in kv.items():
+                sl, vl = by_field.setdefault(k, ([], []))
+                sl.append(slot)
+                vl.append(v)
+        for k, (sl, vl) in by_field.items():
+            scatter(k, sl, vl)
 
     # -- births (reshapes are births into the same slot) -------------------
     births: list[tuple[int, NewFloe]] = []
@@ -400,7 +464,10 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
     if edit.reshapes:
         kin_names = ("u", "v", "ksi", "dx_p", "dy_p", "du_p", "dv_p",
                      "dksi_p")
-        kin = np.asarray(_pack_kin(state))     # ONE device round trip
+        if view is not None:
+            kin = np.stack([view.fields[k] for k in kin_names], axis=1)
+        else:
+            kin = np.asarray(_pack_kin(state))     # ONE device round trip
     for slot, (poly, new_mass) in edit.reshapes.items():
         nf = NewFloe(
             poly=poly, h=0.0, mass=new_mass,
@@ -415,7 +482,7 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
                            len(edit.new_floes), cfg.n_boundary)
         births.extend(zip(free, edit.new_floes))
 
-    if not births and not upd and not edit.kills \
+    if not births and not upd and upd_rows is None and not edit.kills \
             and not edit.dissolve_kills:
         return state
 
@@ -494,6 +561,11 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         if upd:
             state = state.replace(**upd)  # updates first, births override
         dt = state.x.dtype
+        if upd_rows is not None:
+            state = _write_updates_jit(
+                state, jnp.asarray(upd_rows[0]),
+                jnp.asarray(upd_rows[1], dt), jnp.asarray(upd_rows[2]),
+                state.alive)
         return _write_births_jit(
             state, jnp.asarray(slots_b), jnp.asarray(vals, dt),
             jnp.asarray(pidx), jnp.asarray(pw, dt), jnp.asarray(alive))
@@ -502,6 +574,11 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
     # reference scales inertia by h_new/h_old (ridge_values_update.m:18),
     # handled by callers through the updates dict.
 
+    if upd_rows is not None:
+        return _write_updates_jit(
+            state, jnp.asarray(upd_rows[0]),
+            jnp.asarray(upd_rows[1], state.x.dtype),
+            jnp.asarray(upd_rows[2]), jnp.asarray(alive))
     upd["alive"] = jnp.asarray(alive)
     return state.replace(**upd)
 

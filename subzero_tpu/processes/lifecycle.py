@@ -155,6 +155,7 @@ class Lifecycle:
              dissolved: np.ndarray,
              merge_pairs: "list[tuple[int, int]] | None" = None,
              hints: "dict | None" = None,
+             view=None,
              ) -> tuple[FloeState, np.ndarray, bool]:
         """Fire all due processes; returns (new_state, dissolved_grid,
         changed).  ``merge_pairs``: (absorbee, partner) overlap>0.55 pairs
@@ -195,9 +196,10 @@ class Lifecycle:
 
             self.pass_times = collections.defaultdict(float)
         _pt = self.pass_times
-        _t0 = _time.time()
-        view = extract_view(state, cfg)
-        _pt["extract_view"] += _time.time() - _t0
+        if view is None:
+            _t0 = _time.time()
+            view = extract_view(state, cfg)
+            _pt["extract_view"] += _time.time() - _t0
         if self.shadow_ledger:
             m_in = float(np.sum(view.fields["mass"][view.alive],
                                 dtype=np.float64))
@@ -296,7 +298,7 @@ class Lifecycle:
                        or edit.updates or edit.reshapes)
         _t0 = _time.time()
         state = apply_edits(state, edit, cfg,
-                            seed=int(self.rng.integers(2**31)))
+                            seed=int(self.rng.integers(2**31)), view=view)
         _pt["apply_edits"] += _time.time() - _t0
         if self.shadow_ledger:
             import jax

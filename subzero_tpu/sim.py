@@ -104,6 +104,9 @@ class Simulation:
         )
         if old_lc is not None:
             self.lifecycle.rng = old_lc.rng
+            if hasattr(old_lc, "pass_times"):
+                # keep accumulated pass timings across mid-run re-jits
+                self.lifecycle.pass_times = old_lc.pass_times
             self.lifecycle.exported_mass = old_lc.exported_mass
             self.lifecycle.shadow_ledger = old_lc.shadow_ledger
             self.lifecycle.ledger_drift = old_lc.ledger_drift
@@ -550,23 +553,52 @@ class Simulation:
                 self._eul_n = getattr(self, "_eul_n", 0) + n
             # host-side lifecycle at the chunk boundary — only when due
             if merge_any or self.lifecycle.any_due(self.step_idx, hints):
+                # ONE combined device->host fetch for the whole boundary:
+                # view + last-step aux (+ whole-chunk merge tables when a
+                # merge was flagged)
+                from .processes.host import unpack_view, view_width
+
                 tp = time.time()
-                aux_last = _unpack_aux(
-                    np.asarray(_pack_aux_last(auxes, jnp.asarray(n))))
+                nn = self.state.n
+                kk = self.cfg.capacity.max_neighbors
+                w1 = view_width(self.cfg.capacity.max_verts)
+                w2 = 7 * kk + 1
+                if merge_any:
+                    packed = np.asarray(_pack_boundary_merges(
+                        self.state, auxes, jnp.asarray(n), dissolved))
+                else:
+                    packed = np.asarray(_pack_boundary(
+                        self.state, auxes, jnp.asarray(n), dissolved))
+                view = unpack_view(packed[:, :w1], nn)
+                aux_last = _unpack_aux(packed[:, w1:w1 + w2])
+                nd = self.ny_coarse * self.nx_coarse
+                wd = -(-nd // nn)
+                dis_np = np.asarray(
+                    packed[:, w1 + w2:w1 + w2 + wd].T.reshape(-1)[:nd]
+                    .reshape(self.ny_coarse, self.nx_coarse), np.float64)
                 phases["aux_fetch"] += time.time() - tp
                 tp = time.time()
                 if merge_any:
-                    mk = np.asarray(_pack_merges(auxes))
-                    merge_pairs = _merge_pairs_from(
-                        mk[..., 0] != 0, mk[..., 1].astype(np.int64), n)
+                    vals = packed[:, w1 + w2 + wd:].T.reshape(-1)
+                    cnt = int(vals[0])
+                    if cnt > _MERGE_POOL:
+                        # pool overflow (storm-scale merge burst): fall
+                        # back to the full chunk merge tables
+                        mk = np.asarray(_pack_merges(auxes))
+                        merge_pairs = _merge_pairs_from(
+                            mk[..., 0] != 0, mk[..., 1].astype(np.int64), n)
+                    else:
+                        pool = vals[1:1 + 2 * cnt].astype(np.int64
+                                                          ).reshape(-1, 2)
+                        merge_pairs = list(dict.fromkeys(
+                            (int(i), int(j)) for i, j in pool))
                 else:
                     merge_pairs = []
-                dis_np = np.asarray(dissolved)
                 phases["merge_fetch"] += time.time() - tp
                 tp = time.time()
                 self.state, dis_np, changed = self.lifecycle.step(
                     self.state, aux_last, self.step_idx, dis_np,
-                    merge_pairs=merge_pairs, hints=hints,
+                    merge_pairs=merge_pairs, hints=hints, view=view,
                 )
                 phases["lifecycle"] += time.time() - tp
                 tp = time.time()
@@ -927,6 +959,71 @@ def chunk_merge_pairs(auxes: StepAux, n: int
     each flag is resolved against its own step's neighbor table."""
     return _merge_pairs_from(np.asarray(auxes.merge_i),
                              np.asarray(auxes.nbr_idx), n)
+
+
+def _cols(vals, nn):
+    """Flatten ``vals`` into ceil(len/nn) columns of an [nn, w] block
+    (column-major; host reads ``block.T.reshape(-1)[:len]``)."""
+    w = -(-vals.shape[0] // nn)
+    return jnp.concatenate(
+        [vals, jnp.zeros((nn * w - vals.shape[0],), vals.dtype)]
+    ).reshape(w, nn).T
+
+
+@jax.jit
+def _pack_boundary(state: FloeState, auxes: StepAux, n, dissolved):
+    """View + last-step aux + dissolved grid as ONE [N, W] device array — a
+    lifecycle boundary then costs a single tunnel round trip instead of
+    three/four (~35-47 ms latency each, BASELINE.md cost model)."""
+    from .processes.host import _pack_view
+
+    return jnp.concatenate(
+        [_pack_view(state), _pack_aux_last(auxes, n),
+         _cols(dissolved.reshape(-1).astype(state.x.dtype), state.n)],
+        axis=1)
+
+
+# merge-pair pool capacity for the compact boundary fetch: merges are a
+# few per chunk in every reference case; the full [c, N, K, 2] tables are
+# fetched only when the pool overflows (at storm scale those tables are
+# ~10 MB — ~300 ms through the ~35 MB/s tunnel, vs ~2 KB for the pool)
+_MERGE_POOL = 256
+
+
+@jax.jit
+def _pack_boundary_merges(state: FloeState, auxes: StepAux, n, dissolved):
+    """View + aux + dissolved + a device-compacted merge-pair pool, ONE
+    fetch.
+
+    Layout: [N, W1 + W2 + W3] where the last W3 columns carry the
+    flattened (count, i_0, j_0, i_1, j_1, ...) pool padded to N*W3 and
+    written column-major (host reads ``packed[:, w1+w2:].T.reshape(-1)``).
+    Pool order equals np.nonzero's (step, floe, slot) lexicographic order,
+    so host-side first-occurrence dedup matches _merge_pairs_from exactly.
+    """
+    from .processes.host import _pack_view
+
+    mi = auxes.merge_i                          # [c, N, K] bool
+    c, nn, k = mi.shape
+    i32 = jnp.int32
+    flat = mi.reshape(-1)
+    pos = jnp.cumsum(flat.astype(i32)) - 1
+    cap = _MERGE_POOL
+    sel = jnp.full((cap,), -1, i32).at[
+        jnp.where(flat & (pos < cap), pos, cap)
+    ].set(jnp.arange(flat.shape[0], dtype=i32), mode="drop")
+    valid = sel >= 0
+    sel_c = jnp.maximum(sel, 0)
+    i_f = (sel_c // k) % nn
+    j_f = auxes.nbr_idx.reshape(-1)[sel_c].astype(i32)
+    count = jnp.sum(flat.astype(i32))
+    pool = jnp.stack([jnp.where(valid, i_f, -1),
+                      jnp.where(valid, j_f, -1)], axis=1).reshape(-1)
+    vals = jnp.concatenate([count[None], pool]).astype(state.x.dtype)
+    return jnp.concatenate(
+        [_pack_view(state), _pack_aux_last(auxes, n),
+         _cols(dissolved.reshape(-1).astype(state.x.dtype), nn),
+         _cols(vals, nn)], axis=1)
 
 
 @jax.jit

@@ -73,6 +73,7 @@ def test_chunk_merge_pairs_transient():
         killed=jnp.zeros((chunk, n), bool),
         exported=jnp.zeros((chunk, n), bool),
         nbr_overflow=jnp.zeros((chunk,), bool),
+        nbr_demand=jnp.zeros((chunk,), jnp.int32),
         overlap_area=jnp.zeros((chunk, n)),
         collision_force=jnp.zeros((chunk, n, 2)),
         collision_torque=jnp.zeros((chunk, n)),
