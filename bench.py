@@ -158,15 +158,31 @@ def build_concave(n_floes: int, dtype: str = "float32",
 
 
 def measure_concave(n_floes: int, steps: int, device=None,
-                    frac: float = 0.25):
+                    frac: float | None = None):
     """(floe-steps/s, pool_need_max, pool_capacity, overflowed) on the
-    concave star workload with the per-region pool at ``frac``."""
+    concave star workload.
+
+    ``frac=None`` (default) replicates the driver's steady state: one
+    probe step at a generous pool measures the true >=4-crossing demand,
+    then the pool is rebuilt at the exact 128-aligned size the two-way
+    auto-sizer (Simulation._maybe_shrink_pools) converges to."""
     import math
 
     import jax
     import jax.numpy as jnp
 
     from subzero_tpu.dynamics import make_step_fn
+
+    if frac is None:
+        cfg_p, state_p, forcing_p = build_concave(n_floes, frac=0.25)
+        step_p = make_step_fn(cfg_p, forcing_p, 1.6e8)
+        _, aux_p = step_p(state_p, jnp.asarray(0))
+        need_p = int(aux_p.region_pool_need)
+        p_cnt = n_floes * cfg_p.capacity.max_neighbors
+        slots = max(128, -(-int(need_p * 1.25 + 1) // 128) * 128)
+        frac = slots / p_cnt
+        print(f"[bench] concave probe: demand {need_p} -> {slots} slots "
+              f"(frac {frac:.4f})", file=sys.stderr, flush=True)
 
     cfg, state, forcing = build_concave(n_floes, frac=frac)
     if device is not None:

@@ -401,11 +401,15 @@ class Simulation:
             cfg = cfg.replace(capacity=dc.replace(
                 cfg.capacity, max_neighbors=k_new))
             changed = True
-        # region pool: quantized to pow-2 slot counts
+        # region pool: shrink to the EXACT demand (128-aligned) — shrinks
+        # happen once per steady regime so the one compile is cheap, and
+        # pool cost is linear in slots (the concave star bench runs 225k
+        # floe-steps/s exactly-sized vs 174k at the next pow2).  Growth
+        # stays pow2 for fast reaction + compile-cache reuse.
         p_count = self.state.n * cfg.capacity.max_neighbors
         slots_cur = max(128, math.ceil(
             p_count * cfg.contact.region_pair_frac))
-        slots_new = _pool_slots(int(need_max * 1.25) + 1)
+        slots_new = max(128, -(-int(need_max * 1.25 + 1) // 128) * 128)
         if slots_new < slots_cur:
             cfg = cfg.replace(contact=dc.replace(
                 cfg.contact,
