@@ -103,6 +103,22 @@ class ContactConfig:
     # degraded (aggregate-fallback) physics, and no manual per-workload
     # frac tuning is needed.  Costs one recompile per growth.
     region_pool_auto: bool = True
+    # Active-pair pool: compact the broad-phase candidate pairs whose
+    # world-frame bounding boxes actually overlap into a fixed pool and run
+    # the clip + force kernels only on those.  EXACT: a pair whose bboxes
+    # don't meet has zero overlap area, zero crossings and zero force, so
+    # dropping it changes nothing (A/B collision counts match).  Measured
+    # OFF by default: in this model's headline regimes (dense packs) the
+    # bbox-active fraction is 21-53%, and the pool's random-access polygon
+    # gathers break XLA's fused streaming clip — 304k vs 474k floe-steps/s
+    # on the 10240-floe bench, 77 vs 105 steps/s on the uniaxial storm
+    # state (BASELINE.md).  Worth enabling only for genuinely sparse
+    # workloads (low-concentration basins).  Sized by pair_pool_frac of
+    # the n*K pair slots; two-way auto-sized by the driver like the region
+    # pool (on overflow the whole step's contacts are zeroed, flagged, and
+    # the chunk re-runs at the grown size — no degraded step survives).
+    pair_pool: bool = False
+    pair_pool_frac: float = 0.0625  # 1/16 lean start; auto-sized
     # Tangential length scale dl of per-region contacts: "chord" (default,
     # |region chord|, the TPU-native form — ensemble delta vs the reference
     # measured in validation/GOLDEN.md) or "edge_mean" (reference-exact mean

@@ -97,6 +97,10 @@ class PairContacts(NamedTuple):
     region_overflow: jnp.ndarray  # [] >=4-crossing pairs exceeded the pool
     region_need: jnp.ndarray      # [] count of >=4-crossing pair slots
                                   # (pool demand; sizes region_pair_frac)
+    pair_pool_overflow: jnp.ndarray  # [] bbox-active pairs exceeded the
+                                  # active-pair pool (contacts zeroed this
+                                  # step; the driver re-runs the chunk)
+    pair_pool_need: jnp.ndarray   # [] count of bbox-active pair slots
 
 
 class BoundaryContact(NamedTuple):
@@ -369,6 +373,10 @@ def _blend_regions_compact(
                                  # must not claim pool slots (a garbage
                                  # index can alias a huge topography
                                  # polygon and fake a multi-crossing pair)
+    pool_base: "int | None" = None,  # pair count region_pair_frac refers
+                                 # to (defaults to len(n_cross); the
+                                 # active-pair pool passes the full n*K so
+                                 # the driver's frac semantics are stable)
 ):
     """Blend per-region contact results into the aggregate ones, running the
     region decomposition only on a fixed pool of multi-crossing pairs.
@@ -397,7 +405,8 @@ def _blend_regions_compact(
     # ordered slots); a tiny pool would push them all to the aggregate
     # fallback.  At 10k-floe scale the frac term dominates.
     m = min(p_count,
-            max(128, math.ceil(p_count * cfg.contact.region_pair_frac)))
+            max(128, math.ceil((pool_base or p_count)
+                               * cfg.contact.region_pair_frac)))
 
     # Order-preserving compaction of the >= 4-crossing pair slots into m
     # pool slots (cumsum + scatter -- a top_k here would sort all P pairs).
@@ -491,15 +500,6 @@ def contact_forces(
     else:
         verts_s, x_s, y_s, u_s, v_s, ksi_s, h_s, area_s = src
 
-    # Pair-local frame: clip with both polygons translated by floe i's
-    # centroid.  Area/chord/crossings are translation-invariant and the
-    # f32 coordinates drop from domain scale (1e5) to contact scale (1e3),
-    # recovering ~2 decimal digits of geometry accuracy; the contact point
-    # is shifted back below.
-    ci = jnp.stack([x, y], axis=-1)[:, None, None, :]     # [N, 1, 1, 2]
-    vj = verts_s[nbr.idx] + nbr.shift[:, :, None, :] - ci  # [N, K, V, 2]
-    vi = jnp.broadcast_to(verts_world[:, None] - ci, vj.shape)
-
     r = jnp.sqrt(area)
     r_src = jnp.sqrt(area_s)
     h_i = jnp.broadcast_to(h[:, None], (n, k))
@@ -542,79 +542,180 @@ def contact_forces(
             bx * jnp.roll(by, -1) - jnp.roll(bx, -1) * by))
         merge_ok = in_bbox[:, None] | (area_s[nbr.idx] < 0.95 * dom_area)
 
-    # Flatten the [N, K] pair grid into one lane-aligned batch and run the
-    # batch-minor clip kernel (cfg.numerics.contact_impl): every intermediate
-    # is lane-major over the N*K pairs so elementwise ops use the full VPU
-    # lane width.
+    # Flatten the [N, K] pair grid into one lane-aligned batch
+    # (cfg.numerics.contact_impl): every intermediate is lane-major over
+    # the pairs so elementwise ops use the full VPU lane width.
     p = n * k
     vcap = verts_world.shape[1]
     overlap_fn, _ = _clip_fns(cfg)
-    st = overlap_fn(vi.reshape(p, vcap, 2), vj.reshape(p, vcap, 2))
-
-    def fl(a):
-        return a.reshape(p)
-
-    zero_nk = jnp.zeros((n, k), dtype)
-    u_i = fl(jnp.broadcast_to(u[:, None], (n, k)))
-    v_i = fl(jnp.broadcast_to(v[:, None], (n, k)))
-    ksi_if = fl(jnp.broadcast_to(ksi[:, None], (n, k)))
-    u_j = fl(u_s[nbr.idx])
-    v_j = fl(v_s[nbr.idx])
-    ksi_jf = fl(ksi_s[nbr.idx])
-    x_j = fl(x_s[nbr.idx] + nbr.shift[..., 0] - x[:, None])
-    y_j = fl(y_s[nbr.idx] + nbr.shift[..., 1] - y[:, None])
     tang_ref = cfg.contact.tangential_velocity == "reference"
-    fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = \
-        _pair_forces_flat(
-            st,
-            u_i, v_i, ksi_if,
-            # kinematics in the pair-local frame: floe i centroid = origin
-            fl(zero_nk),
-            fl(zero_nk),
-            u_j, v_j, ksi_jf, x_j, y_j,
-            fl(ff),
-            fl(jnp.broadcast_to(area[:, None], (n, k))), fl(area_s[nbr.idx]),
-            shear_g, phys.mu_friction, dt,
-            cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
-            dtype,
-            amin=fl(amin),
-            merge_ok=fl(merge_ok),
-            min_cross=cfg.contact.min_crossings,
-            tang_reference=tang_ref,
-        )
+    i32 = jnp.int32
+
+    def gather_pair(sel_g):
+        """Pair-local geometry + kinematics of the selected pair slots,
+        rebuilt FROM THE SOURCE arrays (gathering materialized [P, V, 2]
+        buffers instead would force XLA to materialize them and break the
+        fused clip kernel — measured 15% step cost)."""
+        i_s = sel_g // k
+        k_s = sel_g - i_s * k
+        j_s = nbr.idx[i_s, k_s]
+        sh = nbr.shift[i_s, k_s]
+        ci_s = jnp.stack([x[i_s], y[i_s]], axis=-1)[:, None, :]
+        vi_m = verts_world[i_s] - ci_s
+        vj_m = verts_s[j_s] + sh[:, None, :] - ci_s
+        kin = (u[i_s], v[i_s], ksi[i_s],
+               u_s[j_s], v_s[j_s], ksi_s[j_s],
+               x_s[j_s] + sh[:, 0] - x[i_s],
+               y_s[j_s] + sh[:, 1] - y[i_s])
+        return (vi_m, vj_m, kin, ff[i_s, k_s], amin[i_s, k_s],
+                merge_ok[i_s, k_s], None)
 
     region_overflow = jnp.zeros((), bool)
     region_need = jnp.zeros((), jnp.int32)
-    if cfg.contact.per_region:
-        # Reference-faithful per-region contact (floe_interactions.m:92-190):
-        # decompose the multi-crossing pairs' overlaps into disjoint regions
-        # on device and apply one force per region.  Pairs whose
-        # decomposition is degenerate (collinear edges, > region_cap
-        # crossings, odd parity) keep the aggregate result — the two
-        # formulations cover each other's weak spots (geometry/regions.py).
-        def gather_pair(sel_g):
-            i_s = sel_g // k
-            k_s = sel_g - i_s * k
-            j_s = nbr.idx[i_s, k_s]
-            sh = nbr.shift[i_s, k_s]
-            ci_s = jnp.stack([x[i_s], y[i_s]], axis=-1)[:, None, :]
-            vi_m = verts_world[i_s] - ci_s
-            vj_m = verts_s[j_s] + sh[:, None, :] - ci_s
-            kin = (u[i_s], v[i_s], ksi[i_s],
-                   u_s[j_s], v_s[j_s], ksi_s[j_s],
-                   x_s[j_s] + sh[:, 0] - x[i_s],
-                   y_s[j_s] + sh[:, 1] - y[i_s])
-            return (vi_m, vj_m, kin, ff[i_s, k_s], amin[i_s, k_s],
-                    merge_ok[i_s, k_s], None)
+    pair_pool_overflow = jnp.zeros((), bool)
+    pair_pool_need = jnp.zeros((), jnp.int32)
 
-        (fx, fy, px, py, tq, sxx, syy, sxy, overlap), region_overflow, \
-            region_need = _blend_regions_compact(
-                (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
-                st.n_cross, gather_pair,
+    if cfg.contact.pair_pool:
+        # ---- active-pair pool: clip only pairs whose world bboxes meet.
+        # EXACT: a pair with disjoint bboxes has zero overlap area, zero
+        # crossings, zero force, no merge flag — identical to running the
+        # full kernel on it.  In a dense pack only ~10-30% of the
+        # rmax-circle candidates actually touch, so the clip (and its
+        # [pool, V, V] HBM intermediates) shrinks by that factor.
+        bx0 = jnp.min(verts_world[..., 0], axis=1)
+        bx1 = jnp.max(verts_world[..., 0], axis=1)
+        by0 = jnp.min(verts_world[..., 1], axis=1)
+        by1 = jnp.max(verts_world[..., 1], axis=1)
+        if verts_s is verts_world:
+            sx0, sx1, sy0, sy1 = bx0, bx1, by0, by1
+        else:
+            sx0 = jnp.min(verts_s[..., 0], axis=1)
+            sx1 = jnp.max(verts_s[..., 0], axis=1)
+            sy0 = jnp.min(verts_s[..., 1], axis=1)
+            sy1 = jnp.max(verts_s[..., 1], axis=1)
+        jx0 = sx0[nbr.idx] + nbr.shift[..., 0]
+        jx1 = sx1[nbr.idx] + nbr.shift[..., 0]
+        jy0 = sy0[nbr.idx] + nbr.shift[..., 1]
+        jy1 = sy1[nbr.idx] + nbr.shift[..., 1]
+        eps = 1e-3   # m; guards f32 rounding of the bbox reductions
+        active = (nbr.valid
+                  & (bx0[:, None] <= jx1 + eps) & (jx0 <= bx1[:, None] + eps)
+                  & (by0[:, None] <= jy1 + eps) & (jy0 <= by1[:, None] + eps))
+        flat_act = active.reshape(p)
+        m2 = min(p, max(256, math.ceil(p * cfg.contact.pair_pool_frac)))
+        pos = jnp.cumsum(flat_act.astype(i32)) - 1
+        sel = jnp.full((m2,), p, i32).at[
+            jnp.where(flat_act & (pos < m2), pos, m2)
+        ].set(jnp.arange(p, dtype=i32), mode="drop")
+        n_act = jnp.sum(flat_act.astype(i32))
+        slot_ok = jnp.arange(m2, dtype=i32) < jnp.minimum(n_act, m2)
+        sel_g = jnp.minimum(sel, p - 1)
+
+        vi_m, vj_m, kin_m, ff_m, amin_m, mok_m, _ = gather_pair(sel_g)
+        st = overlap_fn(vi_m, vj_m)
+        ui_m, vvi_m, ksii_m, uj_m, vj_k_m, ksij_m, xj_m, yj_m = kin_m
+        i_s = sel_g // k
+        j_s = nbr.idx[i_s, sel_g - i_s * k]
+        zm = jnp.zeros(sel_g.shape, dtype)
+        res_m = _pair_forces_flat(
+            st, ui_m, vvi_m, ksii_m, zm, zm,
+            uj_m, vj_k_m, ksij_m, xj_m, yj_m,
+            ff_m, area[i_s], area_s[j_s],
+            shear_g, phys.mu_friction, dt,
+            cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
+            dtype, amin=amin_m, merge_ok=mok_m,
+            min_cross=cfg.contact.min_crossings,
+            tang_reference=tang_ref,
+        )
+        pair_pool_overflow = n_act > m2
+        pair_pool_need = n_act
+        for ax in axis_names:
+            pair_pool_overflow = jax.lax.psum(
+                pair_pool_overflow.astype(i32), ax) > 0
+            pair_pool_need = jax.lax.psum(pair_pool_need, ax)
+        # All-or-nothing on overflow (mirrors the region pool): a partial
+        # pool could keep one endpoint of an unordered pair and drop its
+        # mirror, breaking Newton's third law.  The zeroed step is flagged
+        # and the driver re-runs the chunk at the grown size.
+        use_m = slot_ok & ~pair_pool_overflow
+
+        res9 = res_m[:9]
+        mi_m, mj_m = res_m[9], res_m[10]
+        if cfg.contact.per_region:
+            def gather_pool(sel2):
+                return gather_pair(sel_g[sel2])
+
+            res9, region_overflow, region_need = _blend_regions_compact(
+                res9, st.n_cross, gather_pool,
                 shear_g, phys.mu_friction, dt, cfg, dtype,
-                axis_names=axis_names,
-                pair_ok=nbr.valid.reshape(p),
+                axis_names=axis_names, pair_ok=use_m, pool_base=p,
             )
+
+        zerof = jnp.zeros((p,), dtype)
+        falsep = jnp.zeros((p,), bool)
+
+        def sc(v_m):
+            return zerof.at[sel].set(
+                jnp.where(use_m, v_m.astype(dtype), 0), mode="drop")
+
+        fx, fy, px, py, tq, sxx, syy, sxy, overlap = (sc(v) for v in res9)
+        merge_i = falsep.at[sel].set(use_m & mi_m, mode="drop")
+        merge_j = falsep.at[sel].set(use_m & mj_m, mode="drop")
+    else:
+        # Pair-local frame: clip with both polygons translated by floe i's
+        # centroid.  Area/chord/crossings are translation-invariant and the
+        # f32 coordinates drop from domain scale (1e5) to contact scale
+        # (1e3), recovering ~2 decimal digits of geometry accuracy; the
+        # contact point is shifted back below.
+        ci = jnp.stack([x, y], axis=-1)[:, None, None, :]   # [N, 1, 1, 2]
+        vj = verts_s[nbr.idx] + nbr.shift[:, :, None, :] - ci
+        vi = jnp.broadcast_to(verts_world[:, None] - ci, vj.shape)
+        st = overlap_fn(vi.reshape(p, vcap, 2), vj.reshape(p, vcap, 2))
+
+        def fl(a):
+            return a.reshape(p)
+
+        zero_nk = jnp.zeros((n, k), dtype)
+        fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = \
+            _pair_forces_flat(
+                st,
+                fl(jnp.broadcast_to(u[:, None], (n, k))),
+                fl(jnp.broadcast_to(v[:, None], (n, k))),
+                fl(jnp.broadcast_to(ksi[:, None], (n, k))),
+                # kinematics in the pair-local frame: centroid = origin
+                fl(zero_nk),
+                fl(zero_nk),
+                fl(u_s[nbr.idx]), fl(v_s[nbr.idx]), fl(ksi_s[nbr.idx]),
+                fl(x_s[nbr.idx] + nbr.shift[..., 0] - x[:, None]),
+                fl(y_s[nbr.idx] + nbr.shift[..., 1] - y[:, None]),
+                fl(ff),
+                fl(jnp.broadcast_to(area[:, None], (n, k))),
+                fl(area_s[nbr.idx]),
+                shear_g, phys.mu_friction, dt,
+                cfg.contact.min_chord, cfg.contact.merge_overlap_frac,
+                dtype,
+                amin=fl(amin),
+                merge_ok=fl(merge_ok),
+                min_cross=cfg.contact.min_crossings,
+                tang_reference=tang_ref,
+            )
+
+        if cfg.contact.per_region:
+            # Reference-faithful per-region contact
+            # (floe_interactions.m:92-190): decompose the multi-crossing
+            # pairs' overlaps into disjoint regions on device and apply one
+            # force per region.  Pairs whose decomposition is degenerate
+            # (collinear edges, > region_cap crossings, odd parity) keep
+            # the aggregate result — the two formulations cover each
+            # other's weak spots (geometry/regions.py).
+            (fx, fy, px, py, tq, sxx, syy, sxy, overlap), region_overflow, \
+                region_need = _blend_regions_compact(
+                    (fx, fy, px, py, tq, sxx, syy, sxy, overlap),
+                    st.n_cross, gather_pair,
+                    shear_g, phys.mu_friction, dt, cfg, dtype,
+                    axis_names=axis_names,
+                    pair_ok=nbr.valid.reshape(p),
+                )
 
     fx, fy, px, py, tq, sxx, syy, sxy, overlap, merge_i, merge_j = (
         a.reshape(n, k)
@@ -641,6 +742,8 @@ def contact_forces(
         merge_j=valid & merge_j,
         region_overflow=region_overflow,
         region_need=region_need,
+        pair_pool_overflow=pair_pool_overflow,
+        pair_pool_need=pair_pool_need,
     )
 
 

@@ -68,6 +68,10 @@ class StepAux(NamedTuple):
                                   # per-region decomposition pool
     region_pool_need: jnp.ndarray  # [] >=4-crossing contact slots this step
                                    # (pool demand; sizes region_pair_frac)
+    pair_pool_overflow: jnp.ndarray  # [] bbox-active pairs exceeded the
+                                     # active-pair pool (contacts zeroed;
+                                     # the driver re-runs the chunk)
+    pair_pool_need: jnp.ndarray      # [] bbox-active pair slots this step
 
 
 def domain_polygon(cfg: SimConfig, v_cap: int = 8) -> jnp.ndarray:
@@ -138,7 +142,9 @@ def physics_step(
                           sxx=zk, syy=zk, sxy=zk, overlap=zk,
                           merge_i=pc_zero_bool, merge_j=pc_zero_bool,
                           region_overflow=jnp.zeros((), bool),
-                          region_need=jnp.zeros((), jnp.int32))
+                          region_need=jnp.zeros((), jnp.int32),
+                          pair_pool_overflow=jnp.zeros((), bool),
+                          pair_pool_need=jnp.zeros((), jnp.int32))
 
     # ---- narrow phase: boundary -------------------------------------------
     if not periodic:
@@ -264,6 +270,8 @@ def physics_step(
         boundary_contact=b_valid | (bc.overlap > 0),
         region_overflow=pc.region_overflow | bc.region_overflow,
         region_pool_need=pc.region_need + bc.region_need,
+        pair_pool_overflow=pc.pair_pool_overflow,
+        pair_pool_need=pc.pair_pool_need.astype(jnp.int32),
     )
     return state, aux
 

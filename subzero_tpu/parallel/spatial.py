@@ -230,6 +230,10 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
                 merge_j=put(pc_i.merge_j, pc_b.merge_j),
                 region_overflow=pc_i.region_overflow | pc_b.region_overflow,
                 region_need=pc_i.region_need + pc_b.region_need,
+                pair_pool_overflow=(pc_i.pair_pool_overflow
+                                    | pc_b.pair_pool_overflow),
+                pair_pool_need=(pc_i.pair_pool_need
+                                + pc_b.pair_pool_need).astype(jnp.int32),
             )
             # merged neighbor table for the aux (ghost indices offset past
             # the local slots, matching the concatenated-source convention)
@@ -378,6 +382,8 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
             region_overflow=jax.lax.psum((pc.region_overflow | b_rov).astype(jnp.int32), AXIS) > 0,
             # pc/bc region_need are already globally psum'd (axis_names)
             region_pool_need=pc.region_need + b_need,
+            pair_pool_overflow=pc.pair_pool_overflow,
+            pair_pool_need=pc.pair_pool_need.astype(jnp.int32),
         )
         return state, aux
 
@@ -393,7 +399,7 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         pair_valid=state_spec, pair_px=state_spec, pair_py=state_spec,
         pair_fx=state_spec, pair_fy=state_spec, pair_overlap=state_spec,
         boundary_contact=state_spec, region_overflow=P(),
-        region_pool_need=P(),
+        region_pool_need=P(), pair_pool_overflow=P(), pair_pool_need=P(),
     )
 
     sharded = shard_map(

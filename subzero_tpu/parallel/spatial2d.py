@@ -294,6 +294,8 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
                 (pc.region_overflow | b_rov).astype(jnp.int32)) > 0,
             # pc/bc region_need are already globally psum'd (axis_names)
             region_pool_need=pc.region_need + b_need,
+            pair_pool_overflow=pc.pair_pool_overflow,
+            pair_pool_need=pc.pair_pool_need.astype(jnp.int32),
         )
         return state, aux
 
@@ -311,7 +313,7 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
         pair_valid=spec, pair_px=spec, pair_py=spec,
         pair_fx=spec, pair_fy=spec, pair_overlap=spec,
         boundary_contact=spec, region_overflow=P(),
-        region_pool_need=P(),
+        region_pool_need=P(), pair_pool_overflow=P(), pair_pool_need=P(),
     )
     sharded = shard_map(
         shard_fn, mesh=mesh,

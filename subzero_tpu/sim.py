@@ -257,6 +257,9 @@ class Simulation:
                 jnp.any(auxes.overlap_area[last] > 0).astype(sdt),
                 jnp.any(auxes.nbr_overflow).astype(sdt),
                 jnp.max(auxes.nbr_demand).astype(sdt),
+                jnp.sum(auxes.pair_pool_overflow.astype(jnp.int32)
+                        ).astype(sdt),
+                jnp.max(auxes.pair_pool_need).astype(sdt),
             ])
             # per-step export slots ride the same single-fetch vector; the
             # host sums them in float64 (s[1] keeps the f32 total for
@@ -336,8 +339,24 @@ class Simulation:
         need = int(s[3])
         nbr_ovf = bool(s[8])
         nbr_demand = int(s[9])
+        pp_ovf = int(s[10])
+        pp_need = int(s[11])
         grew = False
         cfg = self.cfg
+        if pp_ovf and cfg.contact.pair_pool \
+                and cfg.contact.pair_pool_frac < 1.0:
+            p_count = self.state.n * cfg.capacity.max_neighbors
+            frac = cfg.contact.pair_pool_frac
+            new_frac = min(1.0, _pool_slots(int(pp_need * 1.25) + 1)
+                           / max(p_count, 1))
+            if new_frac > frac:
+                print(f"[sim] step {self.step_idx}: active-pair pool "
+                      f"demand {pp_need} exceeded the pool — growing "
+                      f"pair_pool_frac {frac:.4g} -> {new_frac:.4g} and "
+                      "re-running the chunk")
+                cfg = cfg.replace(contact=dc.replace(
+                    cfg.contact, pair_pool_frac=new_frac))
+                grew = True
         if n_rov and cfg.contact.region_pair_frac < 1.0:
             p_count = self.state.n * cfg.capacity.max_neighbors
             frac = cfg.contact.region_pair_frac
@@ -387,11 +406,12 @@ class Simulation:
         win = getattr(self, "_demand_win", None)
         if win is None:
             win = self._demand_win = []
-        win.append((int(s[3]), int(s[9])))
+        win.append((int(s[3]), int(s[9]), int(s[11])))
         if len(win) < self._SHRINK_WINDOW:
             return
         need_max = max(w[0] for w in win)
         nbr_max = max(w[1] for w in win)
+        pp_max = max(w[2] for w in win)
         del win[:]
         cfg = self.cfg
         changed = False
@@ -415,6 +435,15 @@ class Simulation:
                 cfg.contact,
                 region_pair_frac=min(1.0, slots_new / max(p_count, 1))))
             changed = True
+        if cfg.contact.pair_pool:
+            pp_cur = max(256, math.ceil(
+                p_count * cfg.contact.pair_pool_frac))
+            pp_new = max(256, -(-int(pp_max * 1.25 + 1) // 128) * 128)
+            if pp_new < pp_cur:
+                cfg = cfg.replace(contact=dc.replace(
+                    cfg.contact,
+                    pair_pool_frac=min(1.0, pp_new / max(p_count, 1))))
+                changed = True
         if changed:
             print(f"[sim] step {self.step_idx}: pool shrink — "
                   f"max_neighbors {k} -> {cfg.capacity.max_neighbors}, "
@@ -538,9 +567,9 @@ class Simulation:
             self.step_idx += n
             done += n
             merge_any = bool(s[0])
-            # f64 host sum of the per-step export slots (s[10:]); s[1] is
+            # f64 host sum of the per-step export slots (s[12:]); s[1] is
             # the f32 chunk total, kept only as a cheap sanity value
-            exported = float(np.sum(s[10:].astype(np.float64)))
+            exported = float(np.sum(s[12:].astype(np.float64)))
             n_rov = int(s[2])
             need = int(s[3])
             ncol = int(s[4])
@@ -1117,6 +1146,8 @@ def _zero_aux(state: FloeState, cfg: SimConfig) -> StepAux:
         boundary_contact=jnp.zeros((n,), bool),
         region_overflow=jnp.zeros((), bool),
         region_pool_need=jnp.zeros((), jnp.int32),
+        pair_pool_overflow=jnp.zeros((), bool),
+        pair_pool_need=jnp.zeros((), jnp.int32),
     )
 
 

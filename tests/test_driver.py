@@ -184,20 +184,20 @@ def test_auto_pool_growth():
 
     sim = _quiet_sim()
     frac0 = sim.cfg.contact.region_pair_frac
-    s = np.zeros(10)
+    s = np.zeros(12)
     s[2], s[3] = 3, 500            # overflow steps, pool demand
     assert sim._grow_pools(s)
     assert sim.cfg.contact.region_pair_frac > frac0
     p = sim.state.n * sim.cfg.capacity.max_neighbors
     pool = max(128, math.ceil(p * sim.cfg.contact.region_pair_frac))
     assert pool >= 500             # sized to demand, not just doubled
-    s = np.zeros(10)
+    s = np.zeros(12)
     s[8] = 1                       # broad-phase candidate overflow
     s[9] = sim.cfg.capacity.max_neighbors + 5   # measured demand
     k0 = sim.cfg.capacity.max_neighbors
     assert sim._grow_pools(s)
     assert sim.cfg.capacity.max_neighbors > k0
-    assert not sim._grow_pools(np.zeros(10))
+    assert not sim._grow_pools(np.zeros(12))
     # the grown sim still runs
     sim.run(10)
     assert int(np.asarray(sim.state.alive).sum()) > 0
@@ -216,7 +216,7 @@ def test_pool_two_way_autosizing():
     sim.__post_init__()
     k0 = sim.cfg.capacity.max_neighbors
     slots0 = sim.state.n * k0 * sim.cfg.contact.region_pair_frac
-    s = np.zeros(10)
+    s = np.zeros(12)
     s[3], s[9] = 40, 6              # region demand 40, nbr demand 6
     for _ in range(sim._SHRINK_WINDOW):
         sim._maybe_shrink_pools(s)

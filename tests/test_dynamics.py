@@ -250,3 +250,40 @@ def test_kill_below_ymin_exports():
     assert killed[0] and exported[0]
     assert not killed[1] and not exported[1]
     assert not bool(np.asarray(st2.alive)[0])
+
+
+def test_pair_pool_matches_default_path():
+    """The active-pair pool (ContactConfig.pair_pool) is an exact
+    transformation: dropping bbox-disjoint candidate pairs cannot change
+    any contact, so forces/torques/merges must match the streaming path
+    bit-for-bit on the same state."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from subzero_tpu.config import CapacityConfig, SimConfig
+    from subzero_tpu.dynamics.step import domain_polygon, physics_step
+    from subzero_tpu.forcing import uniform_forcing
+    from subzero_tpu.init import voronoi_floe_field
+    from subzero_tpu.state import state_from_polygons
+
+    cfg = SimConfig(capacity=CapacityConfig(
+        max_floes=48, max_verts=16, n_mc_points=64, stress_window=16))
+    polys, heights = voronoi_floe_field(cfg, 1.0, 40, height_mean=1.0,
+                                        height_delta=0.0, seed=3)
+    st = state_from_polygons(polys, heights, cfg)
+    forcing = uniform_forcing(lx=4e5)
+    outs = {}
+    for pp in (False, True):
+        c = cfg.replace(contact=dataclasses.replace(
+            cfg.contact, pair_pool=pp, pair_pool_frac=1.0))
+        s2, aux = physics_step(st, forcing, jnp.asarray(0),
+                               domain_polygon(c), 1e8, 0.0, c)
+        outs[pp] = (s2, aux)
+    for name in ("x", "y", "u", "v", "ksi", "alive"):
+        a = np.asarray(getattr(outs[False][0], name))
+        b = np.asarray(getattr(outs[True][0], name))
+        assert np.array_equal(a, b), f"state.{name} diverged"
+    assert int(outs[False][1].n_collisions) == int(outs[True][1].n_collisions)
+    assert np.array_equal(np.asarray(outs[False][1].merge_i),
+                          np.asarray(outs[True][1].merge_i))

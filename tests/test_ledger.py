@@ -87,6 +87,8 @@ def test_chunk_merge_pairs_transient():
         boundary_contact=jnp.zeros((chunk, n), bool),
         region_overflow=jnp.zeros((chunk,), bool),
         region_pool_need=jnp.zeros((chunk,), jnp.int32),
+        pair_pool_overflow=jnp.zeros((chunk,), bool),
+        pair_pool_need=jnp.zeros((chunk,), jnp.int32),
     )
     assert chunk_merge_pairs(aux, chunk) == [(2, 3)]
     # flags outside the executed prefix are ignored

@@ -94,6 +94,11 @@ def _summarize(name: str, sim, t_wall: float, extra: dict | None = None):
         lines += [f"- {k}: {v}" for k, v in extra.items()]
     with open(ROOT / "RESULTS.md", "a") as f:
         f.write("\n".join(lines) + "\n")
+    try:
+        print(f"[{name}] " + sim.phase_report().replace("\n", f"\n[{name}] "),
+              flush=True)
+    except Exception:
+        pass
     print("\n".join(lines), flush=True)
 
 
