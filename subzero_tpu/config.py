@@ -247,7 +247,14 @@ class CapacityConfig:
     SURVEY.md section 7: struct arrays -> fixed-capacity masked arrays)."""
 
     max_floes: int = 256            # Nmax: floe slots (alive mask selects real ones)
-    max_verts: int = 32             # Vmax: vertex slots per floe
+    # Vmax: vertex slots per floe.  64 so FloeSimplify's 30-vertex
+    # threshold (simplify_max_verts, Subzero.m:185) governs shape
+    # complexity, as in the reference, instead of birth-time truncation.
+    # Decided by the round-5 matched-seed ensemble (validation/
+    # VERTEX_CAP.md): a 32 cap systematically over-fragments the winter
+    # pack (137 vs 93 mean floes after 1000 steps, every seed pair; FSD/
+    # ITD deltas 2-4x the chaotic noise floor) for a 1.40x wall saving.
+    max_verts: int = 64
     max_neighbors: int = 16         # K: candidate contacts per floe (broad phase)
     max_ghosts: int = 64            # per-direction halo-exchange buffer (spatial)
     max_per_cell: int = 16          # cell-list broad-phase occupancy cap

@@ -50,7 +50,7 @@ def uniaxial_sim(n_floes: int = 200, seed: int = 0,
             # (Simulation._grow_floes), so a fracture storm never hits the
             # capacity guard (round-3 VERDICT weak #2) and quiet early
             # steps don't pay for unused headroom.
-            max_floes=2 * n_floes, max_verts=32, max_neighbors=12,
+            max_floes=2 * n_floes, max_verts=64, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
     )
@@ -120,7 +120,7 @@ def nares_sim(n_floes: int = 150, seed: int = 0,
         domain=DomainConfig(lx=lx, ly=ly),
         capacity=CapacityConfig(
             # lean start; the driver auto-grows the floe pool on demand
-            max_floes=2 * n_floes, max_verts=32, max_neighbors=12,
+            max_floes=2 * n_floes, max_verts=64, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
     )
@@ -201,7 +201,7 @@ def winter_sim(n_floes: int = 100, seed: int = 0) -> Simulation:
         domain=DomainConfig(lx=1e5, ly=1e5),
         capacity=CapacityConfig(
             # lean start; the driver auto-grows the floe pool on demand
-            max_floes=2 * n_floes, max_verts=32, max_neighbors=12,
+            max_floes=2 * n_floes, max_verts=64, max_neighbors=12,
             n_mc_points=400, stress_window=1000,
         ),
     )
