@@ -248,3 +248,35 @@ class TestMovingWallsOnMesh:
         u = np.asarray(st.u)[alive]
         v = np.asarray(st.v)[alive]
         assert np.max(np.abs(np.concatenate([u, v]))) > 0
+
+
+class TestOverlapHalo:
+    def test_overlap_matches_serialized_exchange(self):
+        """NumericsConfig.overlap_halo restructures the narrow phase
+        (interior pass + packed band pass merged into the standard pair
+        tables) without changing physics: both paths must produce the same
+        live-floe states over several steps with cross-stripe contacts."""
+        import dataclasses as dc
+
+        rng = np.random.default_rng(5)
+        polys = []
+        for _ in range(48):
+            c = rng.uniform(-7e4, 7e4, 2)
+            polys.append(2400.0 * SQ + c)
+        base = spatial_cfg(periodic=True, cap=256)
+        mesh = mesh8()
+        outs = {}
+        for ov in (False, True):
+            cfg = base.replace(numerics=dc.replace(
+                base.numerics, overlap_halo=ov))
+            st = state_from_polygons(polys, 1.0, cfg)
+            stN = shard_state(rebalance_slabs(st, cfg, N_DEV), mesh)
+            step = make_spatial_step(cfg, uniform_forcing(lx=4e5, ua=2.0),
+                                     cfg.modulus, 0.0, mesh)
+            for i in range(6):
+                stN, aux = step(stN, jnp.asarray(i))
+            outs[ov] = (live_rows(stN), int(aux.n_collisions))
+        a, b = outs[False][0], outs[True][0]
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
+        assert outs[False][1] == outs[True][1]
