@@ -39,7 +39,10 @@ SERIAL_STEPS = int(os.environ.get("BENCH_SERIAL_STEPS", 5))
 # second workload: interlocking concave stars (per-region decomposition
 # actually fires); pool fraction sized from the measured demand
 CONCAVE = os.environ.get("BENCH_CONCAVE", "1") == "1"
-CONCAVE_FRAC = float(os.environ.get("BENCH_CONCAVE_FRAC", 0.2))  # measured demand 11,853 of 81,920 pair slots (14.5%); 0.2 = 1.4x headroom
+# default: auto-size from a probe step (mirrors the driver's two-way
+# auto-sizer); set BENCH_CONCAVE_FRAC to pin a fraction instead
+_cf = os.environ.get("BENCH_CONCAVE_FRAC", "")
+CONCAVE_FRAC = float(_cf) if _cf else None
 
 
 def _enable_compile_cache():
@@ -291,7 +294,7 @@ def main():
                 N_FLOES, max(10, STEPS // 3), dev, frac=CONCAVE_FRAC)
             out["concave"] = {
                 "floe_steps_per_s": round(c_rate, 1),
-                "pool_frac": CONCAVE_FRAC,
+                "pool_frac": CONCAVE_FRAC or "auto",
                 "pool_slots": pool,
                 "pool_need_max": need,
                 "overflow": ovf,
