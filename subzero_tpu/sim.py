@@ -595,24 +595,42 @@ class Simulation:
                 nn = self.state.n
                 kk = self.cfg.capacity.max_neighbors
                 w1 = view_width(self.cfg.capacity.max_verts)
-                w2 = 7 * kk + 1
+                cap_a = getattr(self, "_aux_cap", 512)
+                self._aux_cap = cap_a
+                wa = -(-(8 * cap_a + 1) // nn)
                 if merge_any:
                     packed = np.asarray(_pack_boundary_merges(
-                        self.state, auxes, jnp.asarray(n), dissolved))
+                        self.state, auxes, jnp.asarray(n), dissolved,
+                        cap_a))
                 else:
                     packed = np.asarray(_pack_boundary(
-                        self.state, auxes, jnp.asarray(n), dissolved))
+                        self.state, auxes, jnp.asarray(n), dissolved,
+                        cap_a))
                 view = unpack_view(packed[:, :w1], nn)
-                aux_last = _unpack_aux(packed[:, w1:w1 + w2])
+                bc_col = packed[:, w1]
+                avals = packed[:, w1 + 1:w1 + 1 + wa].T.reshape(-1)
+                a_count = int(avals[0])
+                if a_count > cap_a:
+                    # contact-entry pool overflow: dense fallback this
+                    # boundary (one extra round trip) and raise the cap
+                    while cap_a < a_count * 1.25:
+                        cap_a *= 2
+                    self._aux_cap = cap_a
+                    aux_last = _unpack_aux(
+                        np.asarray(_pack_aux_last(auxes, jnp.asarray(n))))
+                else:
+                    aux_last = _unpack_aux_compact(
+                        avals[1:1 + 8 * cap_a], bc_col, nn, kk)
+                w2c = 1 + wa
                 nd = self.ny_coarse * self.nx_coarse
                 wd = -(-nd // nn)
                 dis_np = np.asarray(
-                    packed[:, w1 + w2:w1 + w2 + wd].T.reshape(-1)[:nd]
+                    packed[:, w1 + w2c:w1 + w2c + wd].T.reshape(-1)[:nd]
                     .reshape(self.ny_coarse, self.nx_coarse), np.float64)
                 phases["aux_fetch"] += time.time() - tp
                 tp = time.time()
                 if merge_any:
-                    vals = packed[:, w1 + w2 + wd:].T.reshape(-1)
+                    vals = packed[:, w1 + w2c + wd:].T.reshape(-1)
                     cnt = int(vals[0])
                     if cnt > _MERGE_POOL:
                         # pool overflow (storm-scale merge burst): fall
@@ -891,6 +909,10 @@ class Simulation:
             cfg.capacity,
             max_floes=max(cfg.capacity.max_floes,
                           scap.get("max_floes", 0)),
+            # the vertex cap is part of the saved arrays' shape: adopt it
+            # (a cap-32 campaign snapshot must resume under a build whose
+            # default has moved to 64, and vice versa)
+            max_verts=scap.get("max_verts", cfg.capacity.max_verts),
         ))
         if not cfg.contact.region_pool_auto:
             cfg = cfg.replace(
@@ -1003,16 +1025,26 @@ def _cols(vals, nn):
     ).reshape(w, nn).T
 
 
-@jax.jit
-def _pack_boundary(state: FloeState, auxes: StepAux, n, dissolved):
-    """View + last-step aux + dissolved grid as ONE [N, W] device array — a
-    lifecycle boundary then costs a single tunnel round trip instead of
-    three/four (~35-47 ms latency each, BASELINE.md cost model)."""
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _pack_boundary(state: FloeState, auxes: StepAux, n, dissolved,
+                   aux_cap: int):
+    """View + compacted last-step aux + dissolved grid as ONE [N, W]
+    device array — a lifecycle boundary then costs a single tunnel round
+    trip instead of three/four (~35-47 ms latency each), and the aux rides
+    as a contact-entry pool instead of the dense [N, 7K+1] table (~9 MB at
+    storm scale through the ~35 MB/s tunnel)."""
     from .processes.host import _pack_view
 
+    dt = state.x.dtype
+    aux_vals, count, bc = _pack_aux_compact(auxes, n, aux_cap)
     return jnp.concatenate(
-        [_pack_view(state), _pack_aux_last(auxes, n),
-         _cols(dissolved.reshape(-1).astype(state.x.dtype), state.n)],
+        [_pack_view(state), bc[:, None],
+         _cols(jnp.concatenate([count[None].astype(dt), aux_vals]),
+               state.n),
+         _cols(dissolved.reshape(-1).astype(dt), state.n)],
         axis=1)
 
 
@@ -1023,10 +1055,11 @@ def _pack_boundary(state: FloeState, auxes: StepAux, n, dissolved):
 _MERGE_POOL = 256
 
 
-@jax.jit
-def _pack_boundary_merges(state: FloeState, auxes: StepAux, n, dissolved):
-    """View + aux + dissolved + a device-compacted merge-pair pool, ONE
-    fetch.
+@partial(jax.jit, static_argnums=(4,))
+def _pack_boundary_merges(state: FloeState, auxes: StepAux, n, dissolved,
+                          aux_cap: int):
+    """View + compacted aux + dissolved + a device-compacted merge-pair
+    pool, ONE fetch.
 
     Layout: [N, W1 + W2 + W3] where the last W3 columns carry the
     flattened (count, i_0, j_0, i_1, j_1, ...) pool padded to N*W3 and
@@ -1053,10 +1086,78 @@ def _pack_boundary_merges(state: FloeState, auxes: StepAux, n, dissolved):
     pool = jnp.stack([jnp.where(valid, i_f, -1),
                       jnp.where(valid, j_f, -1)], axis=1).reshape(-1)
     vals = jnp.concatenate([count[None], pool]).astype(state.x.dtype)
+    dt = state.x.dtype
+    aux_vals, a_count, bc = _pack_aux_compact(auxes, n, aux_cap)
     return jnp.concatenate(
-        [_pack_view(state), _pack_aux_last(auxes, n),
-         _cols(dissolved.reshape(-1).astype(state.x.dtype), nn),
+        [_pack_view(state), bc[:, None],
+         _cols(jnp.concatenate([a_count[None].astype(dt), aux_vals]), nn),
+         _cols(dissolved.reshape(-1).astype(dt), nn),
          _cols(vals, nn)], axis=1)
+
+
+def _pack_aux_compact(auxes: StepAux, n, cap: int):
+    """Last-step aux as a compacted contact-entry pool [cap, 8] + count.
+
+    Only slots with a valid contact or positive overlap matter to the
+    lifecycle (corner contact points, fracture deform info, ridge/raft
+    selection); at storm scale the dense [N, 7K+1] table is ~9 MB per
+    boundary through the ~35 MB/s tunnel while the live entries are a few
+    hundred.  Dense fallback on overflow (count > cap) costs one extra
+    round trip and is flagged so the driver can raise the cap."""
+    i32 = jnp.int32
+    i = n - 1
+    valid = auxes.pair_valid[i]
+    over = auxes.pair_overlap[i]
+    keep = valid | (over > 0)                       # [N, K]
+    nn, kk = keep.shape
+    flat = keep.reshape(-1)
+    pos = jnp.cumsum(flat.astype(i32)) - 1
+    sel = jnp.full((cap,), -1, i32).at[
+        jnp.where(flat & (pos < cap), pos, cap)
+    ].set(jnp.arange(nn * kk, dtype=i32), mode="drop")
+    ok = sel >= 0
+    sel_c = jnp.maximum(sel, 0)
+    dt = auxes.pair_px.dtype
+
+    def g(a):
+        return a[i].reshape(-1)[sel_c].astype(dt)
+
+    rows = jnp.stack([
+        jnp.where(ok, sel_c, -1).astype(dt),
+        g(auxes.pair_px), g(auxes.pair_py),
+        g(auxes.pair_fx), g(auxes.pair_fy),
+        g(auxes.pair_overlap),
+        g(auxes.nbr_idx),
+        g(auxes.pair_valid),
+    ], axis=1)                                      # [cap, 8]
+    count = jnp.sum(flat.astype(i32))
+    bc = auxes.boundary_contact[i].astype(dt)       # [N]
+    return rows.reshape(-1), count, bc
+
+
+def _unpack_aux_compact(vals: np.ndarray, bc: np.ndarray, n: int, k: int):
+    """Dense [N, K] aux tables from the compacted entries."""
+    from types import SimpleNamespace
+
+    rows = vals.reshape(-1, 8)
+    ok = rows[:, 0] >= 0
+    flat_idx = rows[ok, 0].astype(np.int64)
+    ii = flat_idx // k
+    kk_ = flat_idx % k
+
+    def dense(col, dtype=np.float64):
+        a = np.zeros((n, k), dtype)
+        a[ii, kk_] = rows[ok, col]
+        return a
+
+    return SimpleNamespace(
+        pair_valid=dense(7) != 0,
+        pair_px=dense(1), pair_py=dense(2),
+        pair_fx=dense(3), pair_fy=dense(4),
+        pair_overlap=dense(5),
+        nbr_idx=dense(6).astype(np.int32),
+        boundary_contact=bc != 0,
+    )
 
 
 @jax.jit
