@@ -27,6 +27,11 @@ import numpy as np
 
 N_FLOES = int(os.environ.get("BENCH_FLOES", 10240))
 IMPL = os.environ.get("BENCH_IMPL", "integral")   # integral | pallas | xla
+# Vertex-axis size of the state buffers.  The driver auto-sizes this to the
+# population's need (CapacityConfig.verts_auto); the bench pins it so the
+# V^2 narrow-phase cost is measurable in isolation (BENCH_VERTS=64 shows
+# what a static fidelity-cap build would pay on this 4-vertex workload).
+VERTS = int(os.environ.get("BENCH_VERTS", 16))
 # Broad phase: "n2" (dense [N,N]) or "cells" (cell list — required at 50k+,
 # where the dense candidate matrix alone is ~10 GB)
 BROADPHASE = os.environ.get("BENCH_BROADPHASE", "n2")
@@ -77,7 +82,7 @@ def build(n_floes: int, dtype: str = "float32", cap_factor: float = 1.0):
     cap = int(np.ceil(n_floes * cap_factor / 8)) * 8
     cfg = SimConfig(
         capacity=CapacityConfig(
-            max_floes=cap, max_verts=16, max_neighbors=8,
+            max_floes=cap, max_verts=VERTS, max_neighbors=8,
             n_mc_points=256, stress_window=100,
             # quad half-diagonal ~0.72*pitch; cell edge >= 2*max(rmax)
             max_per_cell=8,
@@ -129,7 +134,7 @@ def build_concave(n_floes: int, dtype: str = "float32",
     cap = int(np.ceil(n_floes / 8)) * 8
     cfg = SimConfig(
         capacity=CapacityConfig(
-            max_floes=cap, max_verts=16, max_neighbors=8,
+            max_floes=cap, max_verts=VERTS, max_neighbors=8,
             n_mc_points=256, stress_window=100,
         ),
         numerics=NumericsConfig(dtype=dtype, contact_impl=IMPL),

@@ -255,11 +255,28 @@ class CapacityConfig:
     # pack (137 vs 93 mean floes after 1000 steps, every seed pair; FSD/
     # ITD deltas 2-4x the chaotic noise floor) for a 1.40x wall saving.
     max_verts: int = 64
+    # Dynamic vertex rung (two-way auto-sizing, like the contact pools).
+    # The state's vertex axis runs at ``active_verts`` (None = max_verts);
+    # a birth that needs more vertices grows the rung toward max_verts
+    # (the fidelity/truncation bound stays max_verts) and the driver
+    # shrinks it back when the population's max vertex count drops.  Clip
+    # cost is O(V^2) per candidate pair, so running the arrays at the
+    # population's actual need instead of the fidelity cap is a
+    # ~(cap/need)^2 saving on the narrow phase — e.g. the uniaxial
+    # fracture storm's children are 6-15-vertex Voronoi pieces that never
+    # approach the 64-vertex truncation bound.
+    active_verts: "int | None" = None
+    verts_auto: bool = True
     max_neighbors: int = 16         # K: candidate contacts per floe (broad phase)
     max_ghosts: int = 64            # per-direction halo-exchange buffer (spatial)
     max_per_cell: int = 16          # cell-list broad-phase occupancy cap
     n_mc_points: int = 1000         # Monte-Carlo samples per floe (initialize_floe_values.m:30)
     stress_window: int = 1000       # stress-history ring buffer length (:24)
+
+    @property
+    def verts_now(self) -> int:
+        """Vertex-axis size the state arrays currently run at."""
+        return self.active_verts or self.max_verts
 
 
 @dataclass(frozen=True)

@@ -495,9 +495,14 @@ def apply_edits(state: FloeState, edit: StateEdit, cfg: SimConfig,
         # Polygon surgery (unions/differences) can exceed the vertex
         # capacity; reduce to the cap conserving area (the reference relies
         # on unlimited polyshape vertices + periodic FloeSimplify instead).
-        polys = [_cap_vertices(f.poly, cfg.capacity.max_verts)
-                 for f in floes]
-        arrs = make_floe_arrays(polys, heights, cfg, seed=seed)
+        # The truncation bound is max_verts (the fidelity cap); the arrays
+        # are built at the state's current vertex rung, which the driver's
+        # grow_verts_fn has already raised to cover these births (a library
+        # caller without the hook gets capped at the rung instead).
+        vc = min(cfg.capacity.max_verts, state.v_cap)
+        polys = [_cap_vertices(f.poly, vc) for f in floes]
+        arrs = make_floe_arrays(polys, heights, cfg, seed=seed,
+                                v_cap=state.v_cap)
         if any(f.mass is not None for f in floes):
             for k, f in enumerate(floes):
                 if f.mass is not None:

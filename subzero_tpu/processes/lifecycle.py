@@ -103,6 +103,11 @@ class Lifecycle:
         # capacity guard dissolving the smallest births (the reference's
         # arrays grow unbounded, fracture.m:51-55)
         self.grow_fn = None
+        # optional vertex-rung growth hook (state, need_verts) -> state with
+        # a wider vertex axis: a birth whose polygon exceeds the state's
+        # current (auto-shrunk) vertex rung widens the arrays up to the
+        # max_verts fidelity bound instead of being truncated below it
+        self.grow_verts_fn = None
         # f64 shadow ledger: when True, every lifecycle invocation checks
         # (floes + dissolved + exported) in float64 before vs after its
         # edits and accumulates the drift — the instrument that pins which
@@ -272,6 +277,21 @@ class Lifecycle:
             _pt["pack"] += _time.time() - _t0
 
         # ---- capacity growth, then guard ----------------------------------
+        # vertex-rung growth first: a birth polygon wider than the current
+        # (auto-shrunk) vertex rung widens the arrays up to the max_verts
+        # fidelity bound, so truncation semantics stay exactly those of a
+        # static max_verts build
+        if self.grow_verts_fn is not None and (edit.new_floes
+                                               or edit.reshapes):
+            vfid = cfg.capacity.max_verts
+            need_v = 0
+            for f in edit.new_floes:
+                need_v = max(need_v, min(len(np.asarray(f.poly)), vfid))
+            for poly, _ in edit.reshapes.values():
+                need_v = max(need_v, min(len(np.asarray(poly)), vfid))
+            if need_v > state.v_cap:
+                state = self.grow_verts_fn(state, need_v)
+                cfg = self.cfg  # the hook replaces the shared config
         alive_now = view.alive
         if edit.new_floes and self.grow_fn is not None:
             freed = edit.kills | edit.dissolve_kills

@@ -78,6 +78,12 @@ class Simulation:
             pass
         if self.dissolved is None:
             self.dissolved = np.zeros((self.ny_coarse, self.nx_coarse))
+        # invariant: the config's vertex rung always equals the state
+        # arrays' actual vertex axis (empty_state / make_floe_arrays /
+        # _grow_floes all build from cfg.capacity.verts_now)
+        if self.cfg.capacity.verts_now != self.state.v_cap:
+            self.cfg = self.cfg.replace(capacity=dataclasses.replace(
+                self.cfg.capacity, active_verts=int(self.state.v_cap)))
         self._domain = domain_polygon(self.cfg)
         # Re-init after a post-hoc ``sim.cfg = sim.cfg.replace(...)``: keep
         # the lifecycle's run state (RNG stream, exported-mass ledger).
@@ -117,6 +123,7 @@ class Simulation:
                 # the weld pyramid cap only ever grows (Subzero.m:321-323)
                 self.lifecycle.amax = old_lc.amax
         self.lifecycle.grow_fn = self._grow_floes
+        self.lifecycle.grow_verts_fn = self._grow_verts
         # A mid-run re-init (pool growth, floe-capacity growth) resets both
         # _domain and the fresh lifecycle's domain_poly to the static cfg
         # box; forget the wall cache and rebuild the moved domain now so
@@ -260,6 +267,9 @@ class Simulation:
                 jnp.sum(auxes.pair_pool_overflow.astype(jnp.int32)
                         ).astype(sdt),
                 jnp.max(auxes.pair_pool_need).astype(sdt),
+                # max live vertex count (drives the two-way vertex-rung
+                # auto-sizing in _maybe_shrink_pools)
+                jnp.max(jnp.where(state.alive, state.nv, 0)).astype(sdt),
             ])
             # per-step export slots ride the same single-fetch vector; the
             # host sums them in float64 (s[1] keeps the f32 total for
@@ -406,15 +416,26 @@ class Simulation:
         win = getattr(self, "_demand_win", None)
         if win is None:
             win = self._demand_win = []
-        win.append((int(s[3]), int(s[9]), int(s[11])))
+        win.append((int(s[3]), int(s[9]), int(s[11]), int(s[12])))
         if len(win) < self._SHRINK_WINDOW:
             return
         need_max = max(w[0] for w in win)
         nbr_max = max(w[1] for w in win)
         pp_max = max(w[2] for w in win)
+        nv_max = max(w[3] for w in win)
         del win[:]
         cfg = self.cfg
         changed = False
+        if cfg.capacity.verts_auto:
+            v_new = _ladder_v(nv_max, cfg.capacity.max_verts)
+            if v_new < self.state.v_cap:
+                print(f"[sim] step {self.step_idx}: vertex rung shrink "
+                      f"{self.state.v_cap} -> {v_new} (windowed max live "
+                      f"nv {nv_max})")
+                self.state = _resize_verts(self.state, v_new)
+                cfg = cfg.replace(capacity=dc.replace(
+                    cfg.capacity, active_verts=v_new))
+                changed = True
         k = cfg.capacity.max_neighbors
         k_new = max(_ladder_k(int(nbr_max * 1.25) + 1), 8)
         if k_new < k:
@@ -485,6 +506,42 @@ class Simulation:
         # defer the re-jit to the run loop (self.cfg is not self._built_cfg)
         return state
 
+    def _grow_verts(self, state: FloeState, need: int) -> FloeState:
+        """Widen the vertex axis to the ladder rung covering ``need``
+        (bounded by the max_verts fidelity cap).  Hooked into the lifecycle
+        as ``grow_verts_fn``: a fusion/weld/pack birth wider than the
+        auto-shrunk rung widens the arrays instead of being truncated
+        below the fidelity bound.  Re-jit is deferred to the run loop."""
+        import dataclasses as dc
+
+        cap = self.cfg.capacity.max_verts
+        new_v = _ladder_v(need, cap)
+        if new_v <= state.v_cap:
+            return state
+        print(f"[sim] step {self.step_idx}: growing vertex rung "
+              f"{state.v_cap} -> {new_v} (birth needs {need} vertices)")
+        state = _resize_verts(state, new_v)
+        self.cfg = self.cfg.replace(capacity=dc.replace(
+            self.cfg.capacity, active_verts=new_v))
+        self.lifecycle.cfg = self.cfg
+        return state
+
+    def _fit_verts(self) -> None:
+        """One-time initial fit of the vertex rung to the population
+        (CapacityConfig.verts_auto): initial fields are built at the
+        max_verts fidelity cap, but e.g. Voronoi floes carry 6-15 vertices
+        — clip cost is O(V^2) per pair, so starting at the population's
+        actual rung is a ~(cap/need)^2 narrow-phase saving."""
+        nv = np.asarray(self.state.nv)
+        al = np.asarray(self.state.alive)
+        mx = int(nv[al].max()) if al.any() else 3
+        new_v = _ladder_v(mx, self.cfg.capacity.max_verts)
+        if new_v != self.state.v_cap:
+            print(f"[sim] vertex rung fitted to population: "
+                  f"{self.state.v_cap} -> {new_v} (max live nv {mx})")
+            self.state = _resize_verts(self.state, new_v)
+            self.__post_init__()   # syncs cfg.active_verts + re-jits
+
     def _update_walls(self) -> None:
         """Moving walls (uniaxial case): rebuild the domain polygon only
         when the wall position actually changed (it moves every
@@ -514,6 +571,10 @@ class Simulation:
         """
         done = 0
         t0 = time.time()
+        if self.cfg.capacity.verts_auto and not getattr(
+                self, "_verts_fit", False):
+            self._verts_fit = True
+            self._fit_verts()
         if self.cfg is not self._built_cfg:
             # cfg was replaced after construction: rebuild the compiled
             # chunk (process flags are compile-time constants); lifecycle
@@ -567,9 +628,9 @@ class Simulation:
             self.step_idx += n
             done += n
             merge_any = bool(s[0])
-            # f64 host sum of the per-step export slots (s[12:]); s[1] is
+            # f64 host sum of the per-step export slots (s[13:]); s[1] is
             # the f32 chunk total, kept only as a cheap sanity value
-            exported = float(np.sum(s[12:].astype(np.float64)))
+            exported = float(np.sum(s[13:].astype(np.float64)))
             n_rov = int(s[2])
             need = int(s[3])
             ncol = int(s[4])
@@ -594,7 +655,7 @@ class Simulation:
                 tp = time.time()
                 nn = self.state.n
                 kk = self.cfg.capacity.max_neighbors
-                w1 = view_width(self.cfg.capacity.max_verts)
+                w1 = view_width(self.state.v_cap)
                 cap_a = getattr(self, "_aux_cap", 512)
                 self._aux_cap = cap_a
                 wa = -(-(8 * cap_a + 1) // nn)
@@ -872,6 +933,11 @@ class Simulation:
                     getattr(self, "region_overflow_steps", 0),
                 "region_pool_need_max":
                     getattr(self, "region_pool_need_max", 0),
+                # two-way auto-sizing window: persisted so a resumed run's
+                # shrink timing matches the straight run's (bit-identical
+                # resume covers pool/rung resizes too)
+                "demand_win": [list(map(int, w)) for w in
+                               getattr(self, "_demand_win", [])],
             },
             "metrics": getattr(self, "_metrics", None),
         }
@@ -909,10 +975,14 @@ class Simulation:
             cfg.capacity,
             max_floes=max(cfg.capacity.max_floes,
                           scap.get("max_floes", 0)),
-            # the vertex cap is part of the saved arrays' shape: adopt it
-            # (a cap-32 campaign snapshot must resume under a build whose
-            # default has moved to 64, and vice versa)
-            max_verts=scap.get("max_verts", cfg.capacity.max_verts),
+            # the vertex rung is part of the saved arrays' shape: adopt it
+            # (older snapshots predate active_verts and ran the arrays at
+            # max_verts).  The max_verts fidelity cap itself comes from the
+            # caller's cfg unless the snapshot's is larger.
+            max_verts=max(cfg.capacity.max_verts,
+                          scap.get("max_verts", 0)),
+            active_verts=scap.get("active_verts")
+            or scap.get("max_verts", cfg.capacity.max_verts),
         ))
         if not cfg.contact.region_pool_auto:
             cfg = cfg.replace(
@@ -966,6 +1036,12 @@ class Simulation:
         tel = meta.get("telemetry") or {}
         sim.region_overflow_steps = tel.get("region_overflow_steps", 0)
         sim.region_pool_need_max = tel.get("region_pool_need_max", 0)
+        sim._demand_win = [tuple(w) for w in tel.get("demand_win", [])]
+        # the snapshot's vertex rung is authoritative: re-fitting here
+        # could pick a lower rung than the straight run carries and
+        # perturb the reduction trees at the ulp level (the windowed
+        # shrink will right-size an oversized rung soon enough)
+        sim._verts_fit = True
         if meta.get("metrics"):
             sim._metrics = meta["metrics"]
         if (path / "eul_acc.npz").exists():
@@ -1214,6 +1290,32 @@ def _ladder_k(need: int) -> int:
     while v < need:
         v = int(v * 1.5) + 1
     return v
+
+
+def _ladder_v(need: int, cap: int) -> int:
+    """Vertex-rung ladder 8, 16, 24, 32, 48, 64, 96, ... clipped to the
+    max_verts fidelity cap; a need above the cap returns the cap (births
+    are then truncated there — exactly the static-cap semantics)."""
+    v = 8
+    while v < need:
+        v = v + 8 if v < 32 else v + 16
+    return min(v, cap)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _resize_verts(state: FloeState, new_v: int) -> FloeState:
+    """Slice or widen the vertex axis.  The pad-with-vertex-0 convention
+    (geometry/polygon.py pad_polygon) makes both directions exact: every
+    slot at or beyond ``nv`` holds vertex 0, so slicing above the max live
+    nv drops only degenerate padding and widening appends more of it."""
+    vb = state.verts_body
+    if new_v < vb.shape[1]:
+        vb = vb[:, :new_v]
+    elif new_v > vb.shape[1]:
+        pad = jnp.broadcast_to(
+            vb[:, :1], (vb.shape[0], new_v - vb.shape[1], 2))
+        vb = jnp.concatenate([vb, pad], axis=1)
+    return state.replace(verts_body=vb)
 
 
 def _pool_slots(need: int) -> int:

@@ -120,7 +120,7 @@ class FloeState:
 def empty_state(cfg: SimConfig, dtype=None) -> FloeState:
     """All-dead state at the configured capacities."""
     n = cfg.capacity.max_floes
-    v = cfg.capacity.max_verts
+    v = cfg.capacity.verts_now
     p = cfg.capacity.n_mc_points
     w = cfg.capacity.stress_window
     dt = dtype or jnp.dtype(cfg.numerics.dtype)
@@ -146,6 +146,7 @@ def make_floe_arrays(
     heights: np.ndarray,
     cfg: SimConfig,
     seed: int = 0,
+    v_cap: int | None = None,
 ):
     """Host-side floe construction from world-frame polygons.
 
@@ -158,7 +159,7 @@ def make_floe_arrays(
     Returns a dict of numpy arrays for the first ``len(polys)`` slots.
     """
     n = len(polys)
-    v = cfg.capacity.max_verts
+    v = v_cap or cfg.capacity.verts_now
     p = cfg.capacity.n_mc_points
     rng = np.random.default_rng(seed)
     heights = np.broadcast_to(np.asarray(heights, np.float64), (n,)).copy()

@@ -216,8 +216,9 @@ def test_pool_two_way_autosizing():
     sim.__post_init__()
     k0 = sim.cfg.capacity.max_neighbors
     slots0 = sim.state.n * k0 * sim.cfg.contact.region_pair_frac
-    s = np.zeros(12)
+    s = np.zeros(13)
     s[3], s[9] = 40, 6              # region demand 40, nbr demand 6
+    s[12] = 8                       # max live nv (vertex rung demand)
     for _ in range(sim._SHRINK_WINDOW):
         sim._maybe_shrink_pools(s)
     assert sim.cfg.capacity.max_neighbors < k0
