@@ -207,47 +207,8 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
                 domain_verts=dom_gate, axis_names=(AXIS,),
             )
 
-            # merge band entries into the interior tables: both row kinds
-            # are valid-prefix (the top-K argmax selects valid candidates
-            # first), so band entries append at each row's interior count
-            v_int = jnp.sum(nbr_i.valid.astype(jnp.int32), axis=1)  # [N]
-            pos = v_int[b_idx][:, None] + jnp.arange(kg)[None, :]   # [B,kg]
-            okw = nbr_b.valid & b_val[:, None]
-            pos_w = jnp.where(okw, pos, k_cap)  # out of bounds -> dropped
-            rows = jnp.broadcast_to(b_idx[:, None], pos.shape)
-
-            def put(dst, srcv):
-                return dst.at[rows, pos_w].set(srcv, mode="drop")
-
-            pc = pc_i._replace(
-                fx=put(pc_i.fx, pc_b.fx), fy=put(pc_i.fy, pc_b.fy),
-                px=put(pc_i.px, pc_b.px), py=put(pc_i.py, pc_b.py),
-                tq=put(pc_i.tq, pc_b.tq),
-                sxx=put(pc_i.sxx, pc_b.sxx), syy=put(pc_i.syy, pc_b.syy),
-                sxy=put(pc_i.sxy, pc_b.sxy),
-                overlap=put(pc_i.overlap, pc_b.overlap),
-                merge_i=put(pc_i.merge_i, pc_b.merge_i),
-                merge_j=put(pc_i.merge_j, pc_b.merge_j),
-                region_overflow=pc_i.region_overflow | pc_b.region_overflow,
-                region_need=pc_i.region_need + pc_b.region_need,
-                pair_pool_overflow=(pc_i.pair_pool_overflow
-                                    | pc_b.pair_pool_overflow),
-                pair_pool_need=(pc_i.pair_pool_need
-                                + pc_b.pair_pool_need).astype(jnp.int32),
-            )
-            # merged neighbor table for the aux (ghost indices offset past
-            # the local slots, matching the concatenated-source convention)
-            vg = jnp.zeros((n_loc,), jnp.int32).at[b_idx].add(
-                jnp.sum(okw.astype(jnp.int32), axis=1) * b_val)
-            demand = jnp.maximum(jnp.max(v_int + vg), nbr_i.demand)
-            nbr = nbr_i._replace(
-                idx=put(nbr_i.idx, nbr_b.idx + n_loc),
-                valid=put(nbr_i.valid, okw),
-                overflow=(nbr_i.overflow | band_of
-                          | (jnp.max(v_int + vg) > k_cap)
-                          | jnp.any(okw & (pos >= k_cap))),
-                demand=demand,
-            )
+            pc, nbr = _merge_band(pc_i, nbr_i, pc_b, nbr_b, b_idx, b_val,
+                                  kg, k_cap, n_loc, band_of)
         else:
             nbr = neighbor_candidates(
                 state.x, state.y, state.rmax, state.alive, k_cap,
@@ -418,6 +379,53 @@ def make_spatial_step(cfg: SimConfig, forcing: Forcing, modulus: float,
         return sharded(state, step_idx, forcing, dom)
 
     return step
+
+
+def _merge_band(pc_i, nbr_i, pc_b, nbr_b, b_idx, b_val, kg: int,
+                k_cap: int, n_loc: int, band_of):
+    """Merge the packed band pass's pair tables into the interior tables
+    (SURVEY M5 overlapped halo exchange; shared by the 1-D slab and 2-D
+    tile meshes).  Both row kinds are valid-prefix (the top-K argmax
+    selects valid candidates first), so band entries append at each row's
+    interior count; ghost indices offset past the local slots, matching
+    the concatenated-source convention downstream consumers expect."""
+    v_int = jnp.sum(nbr_i.valid.astype(jnp.int32), axis=1)      # [N]
+    pos = v_int[b_idx][:, None] + jnp.arange(kg)[None, :]       # [B, kg]
+    okw = nbr_b.valid & b_val[:, None]
+    pos_w = jnp.where(okw, pos, k_cap)      # out of bounds -> dropped
+    rows = jnp.broadcast_to(b_idx[:, None], pos.shape)
+
+    def put(dst, srcv):
+        return dst.at[rows, pos_w].set(srcv, mode="drop")
+
+    pc = pc_i._replace(
+        fx=put(pc_i.fx, pc_b.fx), fy=put(pc_i.fy, pc_b.fy),
+        px=put(pc_i.px, pc_b.px), py=put(pc_i.py, pc_b.py),
+        tq=put(pc_i.tq, pc_b.tq),
+        sxx=put(pc_i.sxx, pc_b.sxx), syy=put(pc_i.syy, pc_b.syy),
+        sxy=put(pc_i.sxy, pc_b.sxy),
+        overlap=put(pc_i.overlap, pc_b.overlap),
+        merge_i=put(pc_i.merge_i, pc_b.merge_i),
+        merge_j=put(pc_i.merge_j, pc_b.merge_j),
+        region_overflow=pc_i.region_overflow | pc_b.region_overflow,
+        region_need=pc_i.region_need + pc_b.region_need,
+        pair_pool_overflow=(pc_i.pair_pool_overflow
+                            | pc_b.pair_pool_overflow),
+        pair_pool_need=(pc_i.pair_pool_need
+                        + pc_b.pair_pool_need).astype(jnp.int32),
+    )
+    vg = jnp.zeros((n_loc,), jnp.int32).at[b_idx].add(
+        jnp.sum(okw.astype(jnp.int32), axis=1) * b_val)
+    demand = jnp.maximum(jnp.max(v_int + vg), nbr_i.demand)
+    nbr = nbr_i._replace(
+        idx=put(nbr_i.idx, nbr_b.idx + n_loc),
+        valid=put(nbr_i.valid, okw),
+        overflow=(nbr_i.overflow | band_of
+                  | (jnp.max(v_int + vg) > k_cap)
+                  | jnp.any(okw & (pos >= k_cap))),
+        demand=demand,
+    )
+    return pc, nbr
 
 
 def _migrate(state: FloeState, go_right, go_left, cap: int, n_shards: int,

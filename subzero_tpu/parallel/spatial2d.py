@@ -147,30 +147,78 @@ def make_spatial_step_2d(cfg: SimConfig, forcing: Forcing, modulus: float,
         r_src = jnp.concatenate([state.rmax, ghosts["rmax"]])
         a_src = jnp.concatenate([state.alive, ghosts["alive"]])
 
-        nbr = neighbor_candidates(
-            state.x, state.y, state.rmax, state.alive,
-            cfg.capacity.max_neighbors,
-            # both periodic axes are realized by the ghost rings
-            False, lx, ly,
-            src=(x_src, y_src, r_src, a_src, n_loc),
-        )
-        src = (
-            jnp.concatenate([verts_loc, verts_gho]),
-            x_src, y_src,
-            jnp.concatenate([state.u, ghosts["u"]]),
-            jnp.concatenate([state.v, ghosts["v"]]),
-            jnp.concatenate([state.ksi, ghosts["ksi"]]),
-            jnp.concatenate([state.h, ghosts["h"]]),
-            jnp.concatenate([state.area, ghosts["area"]]),
-        )
-        pc = contact_forces(
-            verts_loc, state.x, state.y, state.u, state.v, state.ksi,
-            state.h, state.area, nbr, modulus, cfg, src=src,
-            nv=state.nv,
-            nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
-            domain_verts=None if periodic else domain_rep,
-            axis_names=(AX, AY),
-        )
+        k_cap = cfg.capacity.max_neighbors
+        dom_gate = None if periodic else domain_rep
+        if cfg.numerics.overlap_halo:
+            # ---- SURVEY M5 overlap, 2-D: the interior pass (local
+            # queries vs LOCAL sources) has no data dependency on either
+            # ppermute above, so the latency-hiding scheduler can run both
+            # exchanges underneath it; only the packed band pass (floes
+            # within one halo width of ANY tile edge, vs the arrived
+            # ghosts) waits.  Merge identical to the 1-D slab path
+            # (parallel/spatial.py _merge_band).
+            from .spatial import _merge_band
+
+            nbr_i = neighbor_candidates(
+                state.x, state.y, state.rmax, state.alive, k_cap,
+                # both periodic axes are realized by the ghost rings
+                False, lx, ly,
+            )
+            pc_i = contact_forces(
+                verts_loc, state.x, state.y, state.u, state.v, state.ksi,
+                state.h, state.area, nbr_i, modulus, cfg,
+                nv=state.nv, domain_verts=dom_gate, axis_names=(AX, AY),
+            )
+            up_loc = state.alive & (state.y > y_hi - halo)
+            dn_loc = state.alive & (state.y < y_lo + halo)
+            band_mask = right | left | up_loc | dn_loc
+            n_gho_tot = int(ghosts["x"].shape[0])          # 4 * n_ghost
+            n_band = max(min(n_gho_tot, n_loc), 1)
+            b_idx, b_val, band_of = _pack(band_mask, n_band)
+            kg = min(k_cap, n_gho_tot)
+            nbr_b = neighbor_candidates(
+                state.x[b_idx], state.y[b_idx], state.rmax[b_idx],
+                state.alive[b_idx] & b_val, kg,
+                False, lx, ly,
+                src=(ghosts["x"], ghosts["y"], ghosts["rmax"],
+                     ghosts["alive"], 0),
+            )
+            pc_b = contact_forces(
+                verts_loc[b_idx], state.x[b_idx], state.y[b_idx],
+                state.u[b_idx], state.v[b_idx], state.ksi[b_idx],
+                state.h[b_idx], state.area[b_idx], nbr_b, modulus, cfg,
+                src=(verts_gho, ghosts["x"], ghosts["y"], ghosts["u"],
+                     ghosts["v"], ghosts["ksi"], ghosts["h"],
+                     ghosts["area"]),
+                nv=state.nv[b_idx], nv_s=ghosts["nv"],
+                domain_verts=dom_gate, axis_names=(AX, AY),
+            )
+            pc, nbr = _merge_band(pc_i, nbr_i, pc_b, nbr_b, b_idx, b_val,
+                                  kg, k_cap, n_loc, band_of)
+        else:
+            nbr = neighbor_candidates(
+                state.x, state.y, state.rmax, state.alive, k_cap,
+                # both periodic axes are realized by the ghost rings
+                False, lx, ly,
+                src=(x_src, y_src, r_src, a_src, n_loc),
+            )
+            src = (
+                jnp.concatenate([verts_loc, verts_gho]),
+                x_src, y_src,
+                jnp.concatenate([state.u, ghosts["u"]]),
+                jnp.concatenate([state.v, ghosts["v"]]),
+                jnp.concatenate([state.ksi, ghosts["ksi"]]),
+                jnp.concatenate([state.h, ghosts["h"]]),
+                jnp.concatenate([state.area, ghosts["area"]]),
+            )
+            pc = contact_forces(
+                verts_loc, state.x, state.y, state.u, state.v, state.ksi,
+                state.h, state.area, nbr, modulus, cfg, src=src,
+                nv=state.nv,
+                nv_s=jnp.concatenate([state.nv, ghosts["nv"]]),
+                domain_verts=dom_gate,
+                axis_names=(AX, AY),
+            )
 
         if not periodic:
             bc = boundary_contact(

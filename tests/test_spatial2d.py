@@ -155,3 +155,31 @@ def test_load_imbalance_metric():
     # everything clustered in one corner: max imbalance = n_tiles
     st_c = st.replace(x=jnp.abs(st.x) * 0 - 9e4, y=st.y * 0 - 9e4)
     assert load_imbalance(st_c, cfg, 4, 2) == 8.0
+
+
+def test_overlap_matches_serialized_exchange_2d():
+    """NumericsConfig.overlap_halo on the 2-D tile mesh (interior pass +
+    packed band pass vs the x/y/corner ghosts, merged into the standard
+    pair tables) must reproduce the serialized-exchange physics exactly,
+    including corner-ghost contacts."""
+    import dataclasses as dc
+
+    outs = {}
+    for ov in (False, True):
+        cfg, st, forcing = _setup(True, n_side=8, cap=128)
+        cfg = cfg.replace(numerics=dc.replace(
+            cfg.numerics, overlap_halo=ov))
+        mesh = mesh2d()
+        s2 = shard_state_2d(rebalance_tiles(st, cfg, 4, 2), mesh)
+        step = make_spatial_step_2d(cfg, forcing, 9e7, 0.0, mesh)
+        for k in range(6):
+            s2, aux = step(s2, jnp.asarray(k))
+            assert not bool(aux.nbr_overflow)
+        rows = np.stack([
+            np.asarray(getattr(s2, f))[np.asarray(s2.alive)]
+            for f in ("x", "y", "u", "v", "ksi")
+        ])
+        outs[ov] = (rows[:, np.lexsort(rows)], int(aux.n_collisions))
+    np.testing.assert_allclose(outs[False][0], outs[True][0],
+                               rtol=1e-9, atol=1e-9)
+    assert outs[False][1] == outs[True][1]
