@@ -122,7 +122,11 @@ def voronoi_floe_field(
                 a = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
                 if a <= 0:
                     continue
-                polys.append(_simplify_to_cap(poly, cfg.capacity.max_verts))
+                # cap at the arrays' live vertex rung (verts_now == the
+                # fidelity cap unless the caller pinned active_verts lower;
+                # make_floe_arrays builds [N, verts_now, 2] and would raise
+                # on a wider polygon)
+                polys.append(_simplify_to_cap(poly, cfg.capacity.verts_now))
                 a_tot += a
 
     # min-size cull (initial_concentration.m:48-49)

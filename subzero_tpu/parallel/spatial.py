@@ -416,11 +416,19 @@ def _merge_band(pc_i, nbr_i, pc_b, nbr_b, b_idx, b_val, kg: int,
     )
     vg = jnp.zeros((n_loc,), jnp.int32).at[b_idx].add(
         jnp.sum(okw.astype(jnp.int32), axis=1) * b_val)
-    demand = jnp.maximum(jnp.max(v_int + vg), nbr_i.demand)
+    # demand upper bound covering the band rows' PRE-clamp ghost candidate
+    # counts (nbr_b.demand): a band row with more ghost contacts than kg
+    # must raise overflow and report a demand that, once adopted as K,
+    # stops the truncation — vg alone is post-clamp and would under-report
+    # it (leaving contacts silently dropped forever).
+    band_int_max = jnp.max(jnp.where(b_val, v_int[b_idx], 0))
+    demand = jnp.maximum(jnp.max(v_int + vg),
+                         jnp.maximum(nbr_i.demand,
+                                     band_int_max + nbr_b.demand))
     nbr = nbr_i._replace(
         idx=put(nbr_i.idx, nbr_b.idx + n_loc),
         valid=put(nbr_i.valid, okw),
-        overflow=(nbr_i.overflow | band_of
+        overflow=(nbr_i.overflow | nbr_b.overflow | band_of
                   | (jnp.max(v_int + vg) > k_cap)
                   | jnp.any(okw & (pos >= k_cap))),
         demand=demand,

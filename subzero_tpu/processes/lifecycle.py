@@ -280,16 +280,20 @@ class Lifecycle:
         # vertex-rung growth first: a birth polygon wider than the current
         # (auto-shrunk) vertex rung widens the arrays up to the max_verts
         # fidelity bound, so truncation semantics stay exactly those of a
-        # static max_verts build
-        if self.grow_verts_fn is not None and (edit.new_floes
-                                               or edit.reshapes):
+        # static max_verts build.  last_birth_nv is ALWAYS recorded: the
+        # driver's windowed rung shrink folds it in so a birth at this very
+        # boundary (absent from the chunk summaries, which predate it) can
+        # never be sliced below its vertex count.
+        if edit.new_floes or edit.reshapes:
             vfid = cfg.capacity.max_verts
             need_v = 0
             for f in edit.new_floes:
                 need_v = max(need_v, min(len(np.asarray(f.poly)), vfid))
             for poly, _ in edit.reshapes.values():
                 need_v = max(need_v, min(len(np.asarray(poly)), vfid))
-            if need_v > state.v_cap:
+            self.last_birth_nv = max(
+                getattr(self, "last_birth_nv", 0), need_v)
+            if need_v > state.v_cap and self.grow_verts_fn is not None:
                 state = self.grow_verts_fn(state, need_v)
                 cfg = self.cfg  # the hook replaces the shared config
         alive_now = view.alive

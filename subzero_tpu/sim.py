@@ -110,6 +110,11 @@ class Simulation:
         )
         if old_lc is not None:
             self.lifecycle.rng = old_lc.rng
+            # birth vertex need of the current boundary (the rung-shrink
+            # floor) must survive a mid-boundary re-init (floe-pool growth
+            # recreates the Lifecycle before _maybe_shrink_pools runs)
+            self.lifecycle.last_birth_nv = getattr(
+                old_lc, "last_birth_nv", 0)
             if hasattr(old_lc, "pass_times"):
                 # keep accumulated pass timings across mid-run re-jits
                 self.lifecycle.pass_times = old_lc.pass_times
@@ -123,7 +128,11 @@ class Simulation:
                 # the weld pyramid cap only ever grows (Subzero.m:321-323)
                 self.lifecycle.amax = old_lc.amax
         self.lifecycle.grow_fn = self._grow_floes
-        self.lifecycle.grow_verts_fn = self._grow_verts
+        # growth only under verts_auto: a pinned active_verts with
+        # verts_auto=False is an explicit static rung (births truncate
+        # there, like a static max_verts=rung build)
+        self.lifecycle.grow_verts_fn = (
+            self._grow_verts if self.cfg.capacity.verts_auto else None)
         # A mid-run re-init (pool growth, floe-capacity growth) resets both
         # _domain and the fresh lifecycle's domain_poly to the static cfg
         # box; forget the wall cache and rebuild the moved domain now so
@@ -416,7 +425,14 @@ class Simulation:
         win = getattr(self, "_demand_win", None)
         if win is None:
             win = self._demand_win = []
-        win.append((int(s[3]), int(s[9]), int(s[11]), int(s[12])))
+        # fold in this boundary's birth vertex need: the chunk summaries
+        # predate the lifecycle's births, so without it a window that fills
+        # at this boundary could shrink the rung below a floe born moments
+        # ago (silent geometry truncation, nv > v_cap)
+        birth_nv = getattr(self.lifecycle, "last_birth_nv", 0)
+        self.lifecycle.last_birth_nv = 0
+        win.append((int(s[3]), int(s[9]), int(s[11]),
+                    max(int(s[12]), birth_nv)))
         if len(win) < self._SHRINK_WINDOW:
             return
         need_max = max(w[0] for w in win)
@@ -742,12 +758,16 @@ class Simulation:
                         "aggregate contacts (raise ContactConfig."
                         "region_pair_frac)"
                     )
+            # shrink BEFORE any output snapshot: the saved demand window
+            # must already contain this chunk's entry, or a campaign
+            # resumed from the snapshot fills its window one chunk later
+            # than the straight run and resizes at different steps
+            self._maybe_shrink_pools(s)
             if self.output_dir is not None:
                 tp = time.time()
                 self.dissolved = np.asarray(dissolved)
                 eul_acc = self._auto_output(eul_acc)
                 phases["output"] += time.time() - tp
-            self._maybe_shrink_pools(s)
             if on_chunk is not None:
                 self.dissolved = np.asarray(dissolved)
                 on_chunk(self, auxes)
@@ -977,10 +997,12 @@ class Simulation:
                           scap.get("max_floes", 0)),
             # the vertex rung is part of the saved arrays' shape: adopt it
             # (older snapshots predate active_verts and ran the arrays at
-            # max_verts).  The max_verts fidelity cap itself comes from the
-            # caller's cfg unless the snapshot's is larger.
-            max_verts=max(cfg.capacity.max_verts,
-                          scap.get("max_verts", 0)),
+            # max_verts).  The max_verts fidelity cap is ALSO adopted from
+            # the snapshot: a cap-32 campaign resumed under a cap-64
+            # default build must keep truncating births at 32 — the
+            # snapshot's labeled physics regime — not silently switch
+            # fidelity mid-campaign.
+            max_verts=scap.get("max_verts", cfg.capacity.max_verts),
             active_verts=scap.get("active_verts")
             or scap.get("max_verts", cfg.capacity.max_verts),
         ))

@@ -280,3 +280,41 @@ class TestOverlapHalo:
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
         assert outs[False][1] == outs[True][1]
+
+
+def test_band_ghost_overflow_is_flagged():
+    """A band floe with more ghost contacts than the candidate cap must
+    raise nbr_overflow and report a demand that, once adopted as K, stops
+    the truncation — the overlap path's band tables are post-clamp, so
+    without propagating nbr_b.overflow/demand the dropped contacts would
+    be silent and permanent."""
+    import dataclasses as dc
+
+    cfg = spatial_cfg(periodic=True, cap=16)
+    cfg = cfg.replace(capacity=dc.replace(
+        cfg.capacity, max_neighbors=2, max_ghosts=8))
+    lx = cfg.domain.lx
+    edge = -lx + 2 * lx / 2  # boundary between slab 0 and slab 1 (2 shards)
+    # slab 0: one probe floe hugging the edge; slab 1: four floes just
+    # across it, all overlapping the probe's bounding circle
+    polys = [3e3 * SQ + np.array([edge - 3.2e3, 0.0])]
+    for k in range(4):
+        polys.append(3e3 * SQ + np.array([edge + 3.2e3,
+                                          (k - 1.5) * 2.0e3]))
+    st = state_from_polygons(polys, 1.0, cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
+    stS = shard_state(rebalance_slabs(st, cfg, 2), mesh)
+    step = make_spatial_step(cfg, uniform_forcing(lx=4e5), cfg.modulus,
+                             0.0, mesh)
+    _, aux = step(stS, jnp.asarray(0))
+    assert bool(aux.nbr_overflow), \
+        "ghost-candidate truncation must raise overflow"
+    assert int(aux.nbr_demand) >= 4
+    # adopting the reported demand as K resolves the truncation
+    cfg2 = cfg.replace(capacity=dc.replace(cfg.capacity, max_neighbors=8))
+    st2 = shard_state(rebalance_slabs(st, cfg2, 2), mesh)
+    step2 = make_spatial_step(cfg2, uniform_forcing(lx=4e5), cfg2.modulus,
+                              0.0, mesh)
+    _, aux2 = step2(st2, jnp.asarray(0))
+    assert not bool(aux2.nbr_overflow)
+    assert int(aux2.n_collisions) >= 4

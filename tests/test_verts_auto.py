@@ -140,3 +140,23 @@ def test_resume_adopts_saved_rung(tmp_path):
     assert sim2.cfg.capacity.max_verts == 64      # fidelity cap intact
     sim2.run(5)
     assert np.isfinite(sim2.total_mass())
+
+
+def test_shrink_floor_covers_boundary_births():
+    """A floe born at the very boundary where the shrink window fills is
+    absent from the chunk summaries; the lifecycle's last_birth_nv floor
+    must keep the rung at or above its vertex count (a shrink below it
+    would silently truncate live geometry, nv > v_cap)."""
+    sim = out_of_box_sim(seed=0, n_floes=6)
+    sim.run(5)
+    sim.state = sim._grow_verts(sim.state, 40)      # rung 48
+    sim._SHRINK_WINDOW = 1
+    s = np.zeros(13)
+    s[12] = 6                                       # summary says nv<=6
+    sim.lifecycle.last_birth_nv = 20                # boundary birth: 20
+    sim._maybe_shrink_pools(s)
+    assert sim.state.v_cap >= 24                    # ladder(20), not 8
+    assert sim.lifecycle.last_birth_nv == 0         # consumed
+    sim.lifecycle.last_birth_nv = 0
+    sim._maybe_shrink_pools(s)                      # no birth this time
+    assert sim.state.v_cap == 8

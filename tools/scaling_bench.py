@@ -81,6 +81,25 @@ def measure_sharded(n_floes, n_dev):
     return n_floes * STEPS / (time.time() - t0)
 
 
+def measure_sharded_2d(n_floes, sx, sy):
+    from subzero_tpu.parallel import (
+        make_spatial_step_2d, rebalance_tiles, shard_state_2d,
+    )
+
+    cfg, state, forcing = build(n_floes)
+    mesh = Mesh(np.array(jax.devices()[:sx * sy]).reshape(sx, sy),
+                ("sx", "sy"))
+    state = shard_state_2d(rebalance_tiles(state, cfg, sx, sy), mesh)
+    step = make_spatial_step_2d(cfg, forcing, 1.6e8, 0.0, mesh)
+    s, _ = step(state, jnp.asarray(0))
+    jax.block_until_ready(s.x)
+    t0 = time.time()
+    for i in range(1, STEPS + 1):
+        s, _ = step(s, jnp.asarray(i))
+    jax.block_until_ready(s.x)
+    return n_floes * STEPS / (time.time() - t0)
+
+
 def main():
     n_dev_avail = len(jax.devices())
     print(f"# devices available: {n_dev_avail}")
@@ -97,6 +116,13 @@ def main():
         # single-device step at the same TOTAL size
         ref = measure_single(n)
         rows.append((f"spatial x{nd}", n, r, r / ref))
+    if n_dev_avail >= 8:
+        # 2-D tile mesh at the same total size (4x2 tiles, overlapped
+        # x/y/corner halo exchange — parallel/spatial2d.py)
+        n = N_PER_SHARD * 8
+        r = measure_sharded_2d(n, 4, 2)
+        ref = measure_single(n)
+        rows.append(("tiles 4x2", n, r, r / ref))
     print(f"{'config':>16} {'floes':>8} {'floe-steps/s':>14} "
           f"{'vs single-dev same-N':>22}")
     for name, n, r, eff in rows:
